@@ -1,0 +1,176 @@
+"""Batched LP solving: thousands of independent instances per chip.
+
+This is the headline TPU capability the reference (a strictly single-problem,
+single-thread NumPy library -- SURVEY.md section 2.2) has no counterpart for:
+the whole two-phase simplex pipeline runs inside ONE jitted computation,
+``vmap``-ped over a batch of same-shape LP instances.  Per-lane termination
+is handled by the engine's status codes (finished lanes freeze while the
+batch keeps stepping), and optional periodic refactorization bounds
+eta-update drift on long solves.
+
+Design notes (TPU-first):
+
+* all shapes static: one compiled kernel serves every batch of a given
+  ``(B, m, n)``;
+* Phase I keeps artificial columns in the matrix for Phase II and masks them
+  out of pricing instead of re-allocating (no dynamic shapes, no host
+  round-trips per pivot);
+* redundant rows are left masked (their artificial stays basic at zero
+  level) rather than dropped -- same optima, static shapes;
+* refactorization happens *outside* the vmapped while_loop so the
+  "recompute inv(B)" branch is a real scalar branch, not a per-lane select.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import engine
+from . import status as st
+from .config import DEFAULT_CONFIG, SolverConfig
+from .results import BatchResult
+
+
+def _vrun(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: str):
+    """vmap the engine loop over lanes; `allowed` is shared (unbatched)."""
+    return jax.vmap(
+        engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
+    )(c, A, b, states, allowed, maxiters, cfg, mode)
+
+
+def _run_chunked(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: str):
+    """Drive the batch in refactor-sized chunks.
+
+    Between chunks, every still-running lane gets a fresh ``inv(A[:, basis])``
+    (batched inversion on the MXU).  The any-lane-running check is a scalar,
+    so finished batches skip both the loop and the refactorization.
+    """
+    if cfg.refactor_every <= 0 or cfg.update != "eta":
+        return _vrun(c, A, b, states, allowed, maxiters, cfg, mode)
+
+    chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
+    maxiters = jnp.asarray(maxiters, jnp.int32)
+    inner_cfg = cfg.replace(refactor_every=0)
+
+    def any_running(ss):
+        return jnp.any((ss.status == st.RUNNING) & (ss.iters < maxiters))
+
+    def body(ss):
+        hi = jnp.minimum(jnp.max(ss.iters) + chunk, maxiters)
+        ss = _vrun(c, A, b, ss, allowed, hi, inner_cfg, mode)
+        fresh = jax.vmap(engine.refactorize, in_axes=(0, 0, 0))(A, b, ss)
+        running = (ss.status == st.RUNNING)[:, None]
+        inv_B = jnp.where(running[..., None], fresh.inv_B, ss.inv_B)
+        bfs = jnp.where(running, fresh.bfs, ss.bfs)
+        return ss._replace(inv_B=inv_B, bfs=bfs)
+
+    return lax.while_loop(any_running, body, states)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def solve_batch_from_basis(
+    c, A, b, basis, maxiters, cfg: SolverConfig = DEFAULT_CONFIG, mode: str = "primal"
+) -> BatchResult:
+    """Solve a batch of standard-form LPs from given starting bases.
+
+    ``c[B, n]``, ``A[B, m, n]``, ``b[B, m]``, ``basis[B, m]``.
+    """
+    n = c.shape[-1]
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    allowed = jnp.ones((n,), jnp.bool_)
+    states = _run_chunked(c, A, b, states, allowed, maxiters, cfg, mode)
+    return _to_result(c, states, n)
+
+
+@partial(jax.jit, static_argnames=("cfg", "maxiters1", "maxiters2"))
+def solve_batch_two_phase(
+    c,
+    A,
+    b,
+    maxiters1: int = 1000,
+    maxiters2: int = 1000,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> BatchResult:
+    """Fully on-device two-phase solve of a batch of standard-form LPs.
+
+    No starting basis needed; no host round-trips anywhere: Phase I
+    (artificial variables), the feasibility verdict, and Phase II all happen
+    inside one compiled computation.  ``c[B, n]``, ``A[B, m, n]``, ``b[B, m]``
+    with ``b`` made nonnegative by :func:`linprog_tpu.forms.preprocess_problem`.
+    """
+    B, m, n = A.shape
+    dt = A.dtype
+
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
+    A1 = jnp.concatenate([A, eye], axis=2)  # [B, m, n+m]
+    c1 = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros(n, dt), jnp.ones(m, dt)]), (B, n + m)
+    )
+    c2 = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
+
+    # ---- Phase I: artificial start, everything allowed to enter ----------
+    states = jax.vmap(engine.artificial_state, in_axes=(0, None))(b, n)
+    allowed1 = jnp.ones((n + m,), jnp.bool_)
+    states = _run_chunked(c1, A1, b, states, allowed1, maxiters1, cfg, "primal")
+
+    art_cost = jnp.sum(jnp.where(states.basis >= n, states.bfs, 0.0), axis=1)
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(b), axis=1)) * m
+    infeasible = (states.status == st.OPTIMAL) & (art_cost > cfg.feas_tol * scale)
+    p1_stalled = states.status == st.RUNNING  # phase-I iteration cap
+
+    # ---- Phase II: structural columns only; artificials stay masked ------
+    new_status = jnp.where(
+        infeasible,
+        st.PRIMAL_INFEASIBLE,
+        jnp.where(p1_stalled, st.ITER_LIMIT, st.RUNNING),
+    ).astype(jnp.int32)
+    states = states._replace(
+        status=new_status, iters=jnp.zeros_like(states.iters)
+    )
+    allowed2 = jnp.arange(n + m) < n
+    states = _run_chunked(c2, A1, b, states, allowed2, maxiters2, cfg, "primal")
+
+    res = _to_result(c2, states, n + m)
+    # report x/cost in the structural space
+    return BatchResult(
+        x=res.x[:, :n],
+        basis=res.basis,
+        cost=jnp.sum(c * res.x[:, :n], axis=1),
+        iters=res.iters,
+        status=res.status,
+    )
+
+
+def _to_result(c, states: engine.SimplexState, n: int) -> BatchResult:
+    x = jax.vmap(engine.expand_bfs, in_axes=(0, None))(states, n)
+    status = jnp.where(
+        states.status == st.RUNNING, st.ITER_LIMIT, states.status
+    ).astype(jnp.int32)
+    return BatchResult(
+        x=x,
+        basis=states.basis,
+        cost=jnp.sum(c * x, axis=1),
+        iters=states.iters,
+        status=status,
+    )
+
+
+def batch_summary(result: BatchResult) -> dict:
+    """Host-side aggregate metrics (observability; SURVEY.md section 5)."""
+    import numpy as np
+
+    status = np.asarray(result.status)
+    return {
+        "lanes": int(status.shape[0]),
+        "optimal": int((status == st.OPTIMAL).sum()),
+        "infeasible": int((status == st.PRIMAL_INFEASIBLE).sum()),
+        "unbounded": int((status == st.PRIMAL_UNBOUNDED).sum()),
+        "iter_limit": int((status == st.ITER_LIMIT).sum()),
+        "total_pivots": int(np.asarray(result.iters).sum()),
+        "max_pivots": int(np.asarray(result.iters).max()),
+    }

@@ -1,0 +1,178 @@
+"""Bounded-variable primal simplex: ``min c'x  s.t. Ax = b, lb <= x <= ub``.
+
+TPU-native rebuild of the reference ``BoundedVariablePrimalSimplexSolver``
+(reference ``linprog/special_solvers.py:94-343``).  The reference tracks
+nonbasic-at-lower/upper-bound *index sets* grown and shrunk with
+``np.delete``/``np.append`` -- dynamic shapes that cannot exist under jit.
+Here every variable carries a status in a static ``var_state[n]`` vector
+(``AT_LB`` / ``AT_UB`` / ``BASIC``) and the solver step is fully branchless:
+
+* bound-aware pricing with sign-flipped reduced costs for at-upper-bound
+  variables (reference ``special_solvers.py:177-199``);
+* Dantzig entering rule ``argmax(reduced_costs)`` (reference
+  ``special_solvers.py:208-211``);
+* three-way ratio test -- basic drops to lb (gamma1), basic hits ub
+  (gamma2), entering variable traverses to its opposite bound (gamma3) --
+  as three masked reductions (reference ``special_solvers.py:239-331``);
+* bound flip without basis change when ``gamma3 <= delta``
+  (reference ``special_solvers.py:264-268``);
+* unbounded when no finite step exists.  (Deviation: the reference raises
+  unbounded whenever ``min(gamma1, gamma2) == inf`` even if a finite bound
+  flip ``gamma3`` exists, ``special_solvers.py:256-257``; this engine only
+  reports unbounded when *no* finite step of any kind exists, which is the
+  mathematically correct test.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import engine
+from . import status as st
+from .config import DEFAULT_CONFIG, SolverConfig
+from .utils import primal_simplex_div
+
+AT_LB = jnp.int8(0)
+AT_UB = jnp.int8(1)
+BASIC = jnp.int8(2)
+
+
+class BoundedState(NamedTuple):
+    """Solver state for the bounded-variable engine."""
+
+    basis: jax.Array  # i32[m]
+    inv_B: jax.Array  # f[m, m]
+    bfs: jax.Array  # f[m] -- values of basic variables
+    var_state: jax.Array  # i8[n] -- AT_LB / AT_UB / BASIC
+    iters: jax.Array  # i32[]
+    status: jax.Array  # i32[]
+
+
+def nonbasic_values(var_state, lb, ub):
+    """x_N: lb for AT_LB vars, ub for AT_UB vars, 0 on basic positions."""
+    return jnp.where(
+        var_state == AT_LB, lb, jnp.where(var_state == AT_UB, ub, jnp.zeros_like(lb))
+    )
+
+
+def compute_bfs(A, b, inv_B, var_state, lb, ub):
+    """``x_B = inv_B @ (b - A_N x_N)`` (reference ``special_solvers.py:169-175``)."""
+    x_n = nonbasic_values(var_state, lb, ub)
+    return inv_B @ (b - A @ x_n)
+
+
+def make_bounded_state(A, b, lb, ub, basis, var_state) -> BoundedState:
+    basis = jnp.asarray(basis, jnp.int32)
+    inv_B = jnp.linalg.inv(jnp.take(A, basis, axis=1))
+    bfs = compute_bfs(A, b, inv_B, var_state, lb, ub)
+    return BoundedState(
+        basis=basis,
+        inv_B=inv_B,
+        bfs=bfs,
+        var_state=jnp.asarray(var_state, jnp.int8),
+        iters=jnp.zeros((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+
+def bounded_reduced_costs(c, A, state: BoundedState):
+    """Bound-aware reduced costs: ``z - c`` for AT_LB, ``c - z`` for AT_UB,
+    0 for basic (reference ``special_solvers.py:177-199``).  Positive means
+    improving under the Dantzig ``argmax`` rule either way."""
+    z = (jnp.take(c, state.basis) @ state.inv_B) @ A
+    zc = z - c
+    rc = jnp.where(state.var_state == AT_UB, -zc, zc)
+    return jnp.where(state.var_state == BASIC, jnp.zeros_like(rc), rc)
+
+
+def bounded_step(c, A, b, lb, ub, state: BoundedState, cfg: SolverConfig) -> BoundedState:
+    """One bounded-variable simplex iteration, fully branchless."""
+    rc = bounded_reduced_costs(c, A, state)
+    best = jnp.max(rc)
+    not_optimal = best > cfg.opt_tol
+    enter = jnp.argmax(rc)
+
+    # +1 if entering variable increases (from lb), -1 if it decreases (from ub)
+    sigma = jnp.where(state.var_state[enter] == AT_LB, 1.0, -1.0).astype(c.dtype)
+    d = state.inv_B @ jnp.take(A, enter, axis=1)
+    sd = sigma * d
+
+    lb_B = jnp.take(lb, state.basis)
+    ub_B = jnp.take(ub, state.basis)
+    gammas1 = primal_simplex_div(state.bfs - lb_B, sd, cfg.pivot_tol)
+    gammas2 = primal_simplex_div(ub_B - state.bfs, -sd, cfg.pivot_tol)
+    g1 = jnp.min(gammas1)
+    g2 = jnp.min(gammas2)
+    gamma3 = ub[enter] - lb[enter]
+    delta = jnp.minimum(g1, g2)
+
+    unbounded = not_optimal & jnp.isinf(delta) & jnp.isinf(gamma3)
+    bound_flip = not_optimal & ~unbounded & (gamma3 <= delta)
+    do_pivot = not_optimal & ~unbounded & ~bound_flip
+
+    # --- bound-flip candidate: entering var jumps to its opposite bound ----
+    flipped_vs = state.var_state.at[enter].set(
+        jnp.where(state.var_state[enter] == AT_LB, AT_UB, AT_LB).astype(jnp.int8)
+    )
+
+    # --- pivot candidate ---------------------------------------------------
+    leave_to_lb = g1 < g2  # leaving basic variable lands on its lower bound
+    leave = jnp.where(leave_to_lb, jnp.argmin(gammas1), jnp.argmin(gammas2))
+    leaving_col = state.basis[leave]
+    pivot_vs = state.var_state.at[leaving_col].set(
+        jnp.where(leave_to_lb, AT_LB, AT_UB).astype(jnp.int8)
+    )
+    pivot_vs = pivot_vs.at[enter].set(BASIC)
+    inv_B_p, _ = engine.eta_update(state.inv_B, state.bfs, d, leave)
+    basis_p = state.basis.at[leave].set(jnp.asarray(enter, jnp.int32))
+
+    # --- select + recompute bfs -------------------------------------------
+    var_state = jnp.where(do_pivot, pivot_vs, jnp.where(bound_flip, flipped_vs, state.var_state))
+    basis = jnp.where(do_pivot, basis_p, state.basis)
+    inv_B = jnp.where(do_pivot, inv_B_p, state.inv_B)
+    bfs = compute_bfs(A, b, inv_B, var_state, lb, ub)
+    changed = bound_flip | do_pivot
+    bfs = jnp.where(changed, bfs, state.bfs)
+
+    new_status = jnp.where(
+        ~not_optimal,
+        st.OPTIMAL,
+        jnp.where(unbounded, st.PRIMAL_UNBOUNDED, st.RUNNING),
+    )
+    return BoundedState(
+        basis=basis,
+        inv_B=inv_B,
+        bfs=bfs,
+        var_state=var_state,
+        iters=state.iters + 1,
+        status=jnp.asarray(new_status, jnp.int32),
+    )
+
+
+def run_bounded(c, A, b, lb, ub, state: BoundedState, maxiters, cfg: SolverConfig) -> BoundedState:
+    maxiters = jnp.asarray(maxiters, jnp.int32)
+
+    def cond(s: BoundedState):
+        return (s.status == st.RUNNING) & (s.iters < maxiters)
+
+    def body(s: BoundedState):
+        return bounded_step(c, A, b, lb, ub, s, cfg)
+
+    return lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_bounded_jit(c, A, b, lb, ub, state, maxiters, cfg: SolverConfig):
+    return run_bounded(c, A, b, lb, ub, state, maxiters, cfg)
+
+
+def expand_bounded_bfs(state: BoundedState, lb, ub) -> jax.Array:
+    """Full x: bound values for nonbasic vars, bfs scattered on basis
+    (reference ``special_solvers.py:201-206``)."""
+    x = nonbasic_values(state.var_state, lb, ub)
+    return x.at[state.basis].set(state.bfs)

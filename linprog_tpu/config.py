@@ -1,0 +1,85 @@
+"""Solver configuration.
+
+The reference (agmuth/linear-programming) has no config system: all knobs are
+constructor/``solve`` kwargs and hardcoded ``np.isclose`` tolerances at 8 call
+sites (reference ``linprog/primal_solvers.py:142``, ``linprog/dual_solvers.py:54``,
+``linprog/special_solvers.py:405``).  The TPU framework replaces those with one
+frozen, hashable dataclass that is passed as a *static* jit argument, so every
+tolerance / rule choice specializes the compiled kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for the simplex engine.
+
+    Attributes
+    ----------
+    opt_tol:
+        Optimality tolerance on reduced costs (primal) / entering eligibility.
+        The reference uses ``np.isclose(min, 0)`` (atol ``1e-8``) under float32
+        (``primal_solvers.py:140-142``); we default to ``1e-6`` which is robust
+        for float32 on TPU while meeting the 1e-6 relative-objective target.
+    feas_tol:
+        Feasibility tolerance on basic variable values (dual optimality check,
+        basis-feasibility gates).
+    pivot_tol:
+        Minimum magnitude for a ratio-test denominator / pivot element.  The
+        reference divides by any strictly positive entry
+        (``linprog/utils.py:5-17``); a small positive floor avoids float32
+        blowups on near-degenerate columns.
+    update:
+        ``"eta"``   -- product-form-of-the-inverse rank-1 update per pivot
+        (reference ``PrimalRevisedSimplexSolver``, ``primal_solvers.py:212-263``).
+        ``"naive"`` -- re-invert ``A[:, basis]`` every pivot (reference
+        ``PrimalNaiveSimplexSolver``, ``primal_solvers.py:94``).
+    pricing:
+        ``"bland"``   -- first eligible column (anti-cycling; reference default,
+        ``primal_solvers.py:135-138``).
+        ``"dantzig"`` -- most-negative reduced cost (faster in practice).
+    refactor_every:
+        If > 0 and ``update == "eta"``, recompute ``inv(A[:, basis])`` from
+        scratch every ``refactor_every`` pivots to bound eta-product drift.
+        0 disables refactorization (exact reference behavior).
+    dtype:
+        Numeric dtype name for problem data and factors.  The reference casts
+        everything to float32 (``preprocessing.py:7-9``).
+    """
+
+    opt_tol: float = 1e-6
+    feas_tol: float = 1e-6
+    pivot_tol: float = 1e-9
+    update: str = "eta"
+    pricing: str = "bland"
+    refactor_every: int = 0
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.update not in ("eta", "naive"):
+            raise ValueError(f"unknown update rule: {self.update!r}")
+        if self.pricing not in ("bland", "dantzig"):
+            raise ValueError(f"unknown pricing rule: {self.pricing!r}")
+        if self.dtype not in _DTYPES:
+            raise ValueError(f"unknown dtype: {self.dtype!r}")
+
+    @property
+    def jnp_dtype(self):
+        return _DTYPES[self.dtype]
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,13 @@
+from .mesh import (
+    batch_sharding,
+    make_batch_mesh,
+    shard_batch,
+    sharded_two_phase_solve,
+)
+
+__all__ = [
+    "make_batch_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "sharded_two_phase_solve",
+]

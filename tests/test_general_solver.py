@@ -1,0 +1,86 @@
+"""General-form ``SimplexSolver`` end-to-end (mirrors reference
+``tests/test_general_solvers.py``) plus the cases the reference could not
+handle: redundant constraints (its commented-out test) and simultaneous
+``(A, b)`` + ``(G, h)`` input (broken branch in reference ``simplex.py:57``)."""
+
+import numpy as np
+import pytest
+
+from linprog_tpu import PrimalIsInfeasibleError, SimplexSolver
+from tests.problems import PRIMAL_PROBLEMS
+
+
+@pytest.mark.parametrize("problem", PRIMAL_PROBLEMS, ids=lambda p: p.name)
+def test_recovers_known_optimum_without_starting_basis(problem):
+    solver = SimplexSolver(problem.c, A=problem.A, b=problem.b)
+    res = solver.solve()
+    assert res.optimum
+    assert np.allclose(
+        res.x[problem.optimal_basis], problem.optimal_bfs, atol=1e-4
+    )
+
+
+def test_infeasible_problem_raises():
+    c = np.array([-3.0, 4.0, 0.0, 0.0])
+    A = np.array([[1.0, 1.0, 1.0, 0.0], [2.0, 3.0, 0.0, -1.0]])
+    b = np.array([4.0, 18.0])
+    solver = SimplexSolver(c, A=A, b=b)
+    with pytest.raises(PrimalIsInfeasibleError):
+        solver.solve()
+
+
+def test_redundant_constraints_are_dropped():
+    # row3 = row1 + row2: the reference's commented-out test
+    # (tests/test_general_solvers.py:19-34) -- passes here.
+    c = np.array([-1.0, 2.0, -3.0, 0.0])
+    A = np.array(
+        [
+            [1.0, 1.0, 1.0, 0.0],
+            [-1.0, 1.0, 2.0, 0.0],
+            [0.0, 2.0, 3.0, 0.0],
+            [0.0, 0.0, 1.0, 1.0],
+        ]
+    )
+    b = np.array([6.0, 4.0, 10.0, 2.0])
+    solver = SimplexSolver(c, A=A, b=b)
+    res = solver.solve()
+    assert res.optimum
+    # optimal x = (2, 2, 2, 0): cost -1*2 + 2*2 - 3*2 = -4
+    assert res.cost == pytest.approx(-4.0, abs=1e-4)
+    assert np.allclose(res.x, [2.0, 2.0, 2.0, 0.0], atol=1e-4)
+
+
+def test_inequality_only_input():
+    # min -x1 - x2 s.t. x1 + x2 <= 4, x1 <= 3
+    c = np.array([-1.0, -1.0])
+    G = np.array([[1.0, 1.0], [1.0, 0.0]])
+    h = np.array([4.0, 3.0])
+    res = SimplexSolver(c, G=G, h=h).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(-4.0, abs=1e-5)
+
+
+def test_equality_and_inequality_together():
+    # min -x1 - 2 x2 s.t. x1 + x2 + x3 = 4, x2 <= 2  (x3 slack-like var)
+    # optimum: x2 = 2, x1 = 2 -> cost = -6
+    c = np.array([-1.0, -2.0, 0.0])
+    A = np.array([[1.0, 1.0, 1.0]])
+    b = np.array([4.0])
+    G = np.array([[0.0, 1.0, 0.0]])
+    h = np.array([2.0])
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(-6.0, abs=1e-5)
+    assert np.allclose(res.x, [2.0, 2.0, 0.0], atol=1e-4)
+
+
+def test_variable_bounds_via_rows():
+    # min -x1 s.t. x1 + x2 = 3, 0.5 <= x1 <= 2 -> x1 = 2
+    c = np.array([-1.0, 0.0])
+    A = np.array([[1.0, 1.0]])
+    b = np.array([3.0])
+    res = SimplexSolver(
+        c, A=A, b=b, lb=np.array([0.5, 0.0]), ub=np.array([2.0, np.inf])
+    ).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(2.0, abs=1e-5)

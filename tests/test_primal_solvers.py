@@ -1,0 +1,80 @@
+"""Primal engine correctness: textbook optima + Bland's-rule pivot path.
+
+Mirrors reference ``tests/test_primal_base_solvers.py`` and adds unbounded /
+infeasible-basis coverage the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+from linprog_tpu import (
+    BasisIsPrimalInfeasibleError,
+    PrimalIsUnboundedError,
+    PrimalNaiveSimplexSolver,
+    PrimalRevisedSimplexSolver,
+)
+from tests.problems import BLAND_PATH_PROBLEMS, PRIMAL_PROBLEMS
+
+SOLVERS = [PrimalNaiveSimplexSolver, PrimalRevisedSimplexSolver]
+TOL = 1e-5
+
+
+@pytest.mark.parametrize("problem", PRIMAL_PROBLEMS, ids=lambda p: p.name)
+@pytest.mark.parametrize("solver_cls", SOLVERS)
+def test_reaches_known_optimum(problem, solver_cls):
+    solver = solver_cls(problem.c, problem.A, problem.b, problem.starting_basis)
+    res = solver.solve()
+    assert res.optimum
+    assert np.array_equal(np.sort(res.basis), np.sort(problem.optimal_basis))
+    x_basic = res.x[problem.optimal_basis]
+    assert np.linalg.norm(x_basic - problem.optimal_bfs, 2) < TOL
+    assert res.cost == pytest.approx(
+        float(problem.c[problem.optimal_basis] @ problem.optimal_bfs), rel=1e-5
+    )
+
+
+@pytest.mark.parametrize("problem", BLAND_PATH_PROBLEMS, ids=lambda p: p.name)
+@pytest.mark.parametrize("solver_cls", SOLVERS)
+def test_bland_pivot_path(problem, solver_cls):
+    """Pivot-path determinism: repeated solve(maxiters=1) must walk the
+    published Bland's-rule basis sequence and then be stationary."""
+    solver = solver_cls(problem.c, problem.A, problem.b, problem.basis_seq[0])
+    for expected in problem.basis_seq[1:]:
+        res = solver.solve(maxiters=1)
+        assert np.array_equal(res.basis, expected)
+    res = solver.solve(maxiters=1)
+    assert np.array_equal(res.basis, problem.basis_seq[-1])
+    assert res.optimum
+
+
+@pytest.mark.parametrize("solver_cls", SOLVERS)
+def test_unbounded_detection(solver_cls):
+    # min -x1 s.t. x1 - x2 = 0 -> x1 can grow without limit
+    c = np.array([-1.0, 0.0])
+    A = np.array([[1.0, -1.0]])
+    b = np.array([0.0])
+    solver = solver_cls(c, A, b, basis=np.array([0]))
+    with pytest.raises(PrimalIsUnboundedError):
+        solver.solve()
+
+
+@pytest.mark.parametrize("solver_cls", SOLVERS)
+def test_primal_infeasible_basis_raises(solver_cls):
+    # basis [2, 3] gives bfs = b with a negative entry -> not primal feasible
+    c = np.array([1.0, 1.0, 0.0, 0.0])
+    A = np.array([[1.0, 2.0, 1.0, 0.0], [1.0, 0.0, 0.0, 1.0]])
+    b = np.array([-2.0, -1.0])
+    with pytest.raises(BasisIsPrimalInfeasibleError):
+        solver_cls(c, A, b, basis=np.array([2, 3]))
+
+
+@pytest.mark.parametrize("problem", PRIMAL_PROBLEMS[:1], ids=lambda p: p.name)
+def test_iter_limit_soft_fail_and_resume(problem):
+    solver = PrimalRevisedSimplexSolver(
+        problem.c, problem.A, problem.b, problem.starting_basis
+    )
+    res = solver.solve(maxiters=1)
+    assert not res.optimum  # one pivot is not enough on this instance
+    res = solver.solve(maxiters=100)  # resumes from live state
+    assert res.optimum
+    assert np.array_equal(np.sort(res.basis), np.sort(problem.optimal_basis))
