@@ -1,0 +1,124 @@
+"""Benchmark: batched dense random LPs (m=n=256) on TPU vs single-core HiGHS.
+
+BASELINE.json headline config: "batched random dense LPs m=n=256 x10k,
+vmapped and sharded across v5e-8", target >= 50x single-core SciPy HiGHS
+throughput.  Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is our LPs/sec/chip divided by single-core HiGHS LPs/sec on
+the same instance distribution.  Extra keys document pivots/sec/chip,
+correctness vs the HiGHS oracle, and lane-status counts.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=1024, help="lanes per device batch")
+    ap.add_argument("--chunks", type=int, default=10, help="number of batches")
+    ap.add_argument("--maxiters", type=int, default=2000)
+    ap.add_argument("--highs-samples", type=int, default=4)
+    ap.add_argument("--quick", action="store_true", help="small fast run")
+    args = ap.parse_args()
+    if args.quick:
+        args.chunk, args.chunks, args.m, args.n = 256, 2, 64, 64
+
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu.batch import batch_summary, solve_batch_two_phase
+    from linprog_tpu.config import SolverConfig
+    from linprog_tpu.generators import (
+        random_inequality_lps,
+        to_standard_form_batch,
+    )
+
+    cfg = SolverConfig(pricing="dantzig", refactor_every=64)
+    m, n, chunk = args.m, args.n, args.chunk
+
+    def run_chunk(seed):
+        c, G, h = random_inequality_lps(chunk, m, n, seed=seed)
+        cs, As, bs = to_standard_form_batch(c, G, h)
+        res = solve_batch_two_phase(
+            jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs),
+            args.maxiters, args.maxiters, cfg,
+        )
+        jax.block_until_ready(res.cost)
+        return (c, G, h), res
+
+    # warm-up/compile on chunk 0 (excluded from timing)
+    (c0, G0, h0), res0 = run_chunk(0)
+
+    t0 = time.time()
+    total_pivots = 0
+    statuses = []
+    first_costs = np.asarray(res0.cost)
+    for k in range(args.chunks):
+        (c, G, h), res = run_chunk(k)
+        s = batch_summary(res)
+        total_pivots += s["total_pivots"]
+        statuses.append(s)
+    wall = time.time() - t0
+    total_lps = args.chunks * chunk
+    lps_per_sec = total_lps / wall
+    pivots_per_sec = total_pivots / wall
+
+    # single-core HiGHS baseline on the same distribution
+    try:
+        from scipy.optimize import linprog as scipy_linprog
+
+        t0 = time.time()
+        gaps = []
+        for i in range(args.highs_samples):
+            ref = scipy_linprog(
+                c0[i], A_ub=G0[i], b_ub=h0[i], bounds=(0, None), method="highs"
+            )
+            if ref.status == 0:
+                gaps.append(
+                    abs(float(first_costs[i]) - ref.fun) / max(1.0, abs(ref.fun))
+                )
+        highs_sec_per_lp = (time.time() - t0) / max(1, args.highs_samples)
+        highs_lps = 1.0 / highs_sec_per_lp
+        max_gap = max(gaps) if gaps else float("nan")
+    except Exception:  # scipy unavailable: no baseline ratio
+        highs_lps = float("nan")
+        max_gap = float("nan")
+
+    agg = {
+        "optimal": sum(s["optimal"] for s in statuses),
+        "infeasible": sum(s["infeasible"] for s in statuses),
+        "unbounded": sum(s["unbounded"] for s in statuses),
+        "iter_limit": sum(s["iter_limit"] for s in statuses),
+    }
+    vs_baseline = (
+        lps_per_sec / highs_lps if np.isfinite(highs_lps) else float("nan")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"batched_lps_per_sec_m{m}_n{n}",
+                "value": round(lps_per_sec, 2),
+                "unit": "LPs/s/chip",
+                "vs_baseline": round(vs_baseline, 2),
+                "pivots_per_sec_per_chip": round(pivots_per_sec, 1),
+                "total_lps": total_lps,
+                "wall_sec": round(wall, 3),
+                "highs_single_core_lps_per_sec": round(highs_lps, 4),
+                "max_rel_gap_vs_highs": float(f"{max_gap:.3e}"),
+                "lane_status": agg,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -113,8 +113,10 @@ def solve_batch_two_phase(
     )
     c2 = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
 
-    # ---- Phase I: artificial start, everything allowed to enter ----------
-    states = jax.vmap(engine.artificial_state, in_axes=(0, None))(b, n)
+    # ---- Phase I: slack crash basis, everything allowed to enter ---------
+    # (unit columns serve as their row's basis entry; artificials only where
+    # no unit column exists -- typically halves Phase-I pivots)
+    states = jax.vmap(engine.slack_crash_state, in_axes=(0, 0, None))(A1, b, n)
     allowed1 = jnp.ones((n + m,), jnp.bool_)
     states = _run_chunked(c1, A1, b, states, allowed1, maxiters1, cfg, "primal")
 

@@ -91,6 +91,39 @@ def make_state(A, b, basis, status: int = st.RUNNING) -> SimplexState:
     )
 
 
+def slack_crash_state(A, b, n: int) -> SimplexState:
+    """Crash basis: use existing unit columns of ``A`` where possible.
+
+    For each row ``i``, if some structural column ``j < n`` equals ``+e_i``
+    (a slack column of an untouched ``Gx <= h`` row), take it into the basis;
+    otherwise fall back to the artificial ``n + i``.  Either way the basis
+    matrix is the identity, so ``inv_B = I`` and ``bfs = b`` with no
+    inversion -- but Phase I now only has to drive out artificials for the
+    rows that actually need them (typically the sign-flipped rows), roughly
+    halving Phase-I pivots on ``Gx <= h`` instances.
+
+    ``A`` here is the Phase-I matrix ``[A_struct | I]`` with ``n`` structural
+    columns.  Requires ``b >= 0`` (preprocessing's sign fix).
+    """
+    m = b.shape[0]
+    struct = A[:, :n]
+    col_abs_sum = jnp.sum(jnp.abs(struct), axis=0)  # [n]
+    # unit[i, j] = True iff structural column j == +e_i
+    unit = (struct == 1.0) & (col_abs_sum == 1.0)[None, :]
+    has_unit = jnp.any(unit, axis=1)  # [m]
+    unit_col = jnp.argmax(unit, axis=1).astype(jnp.int32)  # first unit col per row
+    basis = jnp.where(
+        has_unit, unit_col, jnp.arange(n, n + m, dtype=jnp.int32)
+    )
+    return SimplexState(
+        basis=basis,
+        inv_B=jnp.eye(m, dtype=b.dtype),
+        bfs=jnp.asarray(b),
+        iters=jnp.zeros((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+
 def artificial_state(b, n: int) -> SimplexState:
     """State for an all-artificial basis ``[A | I]`` (Phase I start).
 
@@ -170,16 +203,54 @@ def eta_update(inv_B, bfs, d, leave):
     return inv_B, bfs
 
 
-def apply_pivot(A, b, state: SimplexState, leave, enter, cfg: SolverConfig) -> SimplexState:
-    """Pivot ``basis[leave] <- enter`` and update factors per ``cfg.update``."""
+def apply_pivot(
+    A, b, state: SimplexState, leave, enter, cfg: SolverConfig, d=None
+) -> SimplexState:
+    """Pivot ``basis[leave] <- enter`` and update factors per ``cfg.update``.
+
+    ``d`` may pass in the already-computed direction ``inv_B @ A[:, enter]``
+    (the ratio test needs it anyway) to avoid a second pass over ``inv_B``.
+    """
     if cfg.update == "naive":
         basis = state.basis.at[leave].set(jnp.asarray(enter, jnp.int32))
         inv_B = jnp.linalg.inv(jnp.take(A, basis, axis=1))
         bfs = inv_B @ b
     else:
-        d = state.inv_B @ jnp.take(A, enter, axis=1)
+        if d is None:
+            d = state.inv_B @ jnp.take(A, enter, axis=1)
         inv_B, bfs = eta_update(state.inv_B, state.bfs, d, leave)
         basis = state.basis.at[leave].set(jnp.asarray(enter, jnp.int32))
+    return state._replace(basis=basis, inv_B=inv_B, bfs=bfs)
+
+
+def _masked_pivot(
+    A, b, state: SimplexState, leave, enter, d, do_pivot, cfg: SolverConfig
+) -> SimplexState:
+    """Pivot iff ``do_pivot`` WITHOUT a full-state select.
+
+    A where-select on ``inv_B`` costs an extra full pass over the O(m^2)
+    factor (measured ~4x the rank-1 update itself at B=1024, m=256).  For
+    the eta path the same effect is free: zero the eta column ``u`` when
+    ``do_pivot`` is false and the rank-1 update becomes a no-op.  Only the
+    O(m) leaves (basis, bfs) need real selects.  The naive path keeps the
+    select (it is the small-problem oracle, not the hot path).
+    """
+    if cfg.update == "naive":
+        pivoted = apply_pivot(A, b, state, leave, enter, cfg)
+        return tree_select(do_pivot, pivoted, state)
+
+    d_l = d[leave]
+    safe = jnp.where(jnp.abs(d_l) > 0, d_l, jnp.ones_like(d_l))
+    u = -d / safe
+    u = u.at[leave].set(1.0 / safe - 1.0)
+    u = jnp.where(do_pivot, u, jnp.zeros_like(u))
+    inv_B = state.inv_B + jnp.outer(u, state.inv_B[leave])
+    bfs = state.bfs + u * state.bfs[leave]
+    basis = jnp.where(
+        do_pivot,
+        state.basis.at[leave].set(jnp.asarray(enter, jnp.int32)),
+        state.basis,
+    )
     return state._replace(basis=basis, inv_B=inv_B, bfs=bfs)
 
 
@@ -219,9 +290,8 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     theta = jnp.where(pos, state.bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf)
     leave = jnp.argmin(theta)  # first-min == Bland tie-break, matches np.argmin
 
-    pivoted = apply_pivot(A, b, state, leave, enter, cfg)
     do_pivot = any_elig & ~unbounded
-    out = tree_select(do_pivot, pivoted, state)
+    out = _masked_pivot(A, b, state, leave, enter, d, do_pivot, cfg)
 
     new_status = jnp.where(
         ~any_elig,
@@ -255,9 +325,9 @@ def dual_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Simpl
     theta = jnp.where(cand, -r / jnp.where(cand, u, -jnp.ones_like(u)), jnp.inf)
     enter = jnp.argmin(theta)
 
-    pivoted = apply_pivot(A, b, state, leave, enter, cfg)
+    d = state.inv_B @ jnp.take(A, enter, axis=1)
     do_pivot = any_neg & ~unbounded
-    out = tree_select(do_pivot, pivoted, state)
+    out = _masked_pivot(A, b, state, leave, enter, d, do_pivot, cfg)
 
     new_status = jnp.where(
         ~any_neg,
