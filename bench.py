@@ -6,8 +6,10 @@ throughput.  Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 ``vs_baseline`` is our LPs/sec/chip divided by single-core HiGHS LPs/sec on
-the same instance distribution.  Extra keys document pivots/sec/chip,
-correctness vs the HiGHS oracle, and lane-status counts.
+the same instance distribution.  Instances are generated ON DEVICE (only a
+PRNG key crosses the host<->device link); a sample is read back and
+cross-checked against the HiGHS oracle.  Extra keys document pivots/sec,
+correctness, and lane-status counts.
 """
 
 import argparse
@@ -25,7 +27,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024, help="lanes per device batch")
     ap.add_argument("--chunks", type=int, default=10, help="number of batches")
     ap.add_argument("--maxiters", type=int, default=2000)
-    ap.add_argument("--highs-samples", type=int, default=4)
+    ap.add_argument("--highs-samples", type=int, default=8)
     ap.add_argument("--quick", action="store_true", help="small fast run")
     args = ap.parse_args()
     if args.quick:
@@ -37,33 +39,39 @@ def main():
     from linprog_tpu.batch import batch_summary, solve_batch_two_phase
     from linprog_tpu.config import SolverConfig
     from linprog_tpu.generators import (
-        random_inequality_lps,
-        to_standard_form_batch,
+        device_inequality_lps,
+        device_standard_form_batch,
     )
 
-    cfg = SolverConfig(pricing="dantzig", refactor_every=64)
+    cfg = SolverConfig(
+        pricing="dantzig", refactor_every=128, kernels="pallas",
+        refactor_method="inv",
+    )
     m, n, chunk = args.m, args.n, args.chunk
 
-    def run_chunk(seed):
-        c, G, h = random_inequality_lps(chunk, m, n, seed=seed)
-        cs, As, bs = to_standard_form_batch(c, G, h)
-        res = solve_batch_two_phase(
-            jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs),
-            args.maxiters, args.maxiters, cfg,
-        )
-        jax.block_until_ready(res.cost)
+    @jax.jit
+    def gen(key):
+        c, G, h = device_inequality_lps(key, chunk, m, n)
+        cs, As, bs = device_standard_form_batch(c, G, h)
+        return (c, G, h), (cs, As, bs)
+
+    def run(key):
+        (c, G, h), (cs, As, bs) = gen(key)
+        res = solve_batch_two_phase(cs, As, bs, args.maxiters, args.maxiters, cfg)
         return (c, G, h), res
 
-    # warm-up/compile on chunk 0 (excluded from timing)
-    (c0, G0, h0), res0 = run_chunk(0)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.chunks)
+
+    # warm-up/compile (excluded from timing)
+    (c0, G0, h0), res0 = run(keys[0])
+    first_costs = np.asarray(res0.cost)
 
     t0 = time.time()
     total_pivots = 0
     statuses = []
-    first_costs = np.asarray(res0.cost)
-    for k in range(args.chunks):
-        (c, G, h), res = run_chunk(k)
-        s = batch_summary(res)
+    results = [run(k) for k in keys]  # async dispatch chain
+    for _, res in results:
+        s = batch_summary(res)  # forces the device result
         total_pivots += s["total_pivots"]
         statuses.append(s)
     wall = time.time() - t0
@@ -71,21 +79,26 @@ def main():
     lps_per_sec = total_lps / wall
     pivots_per_sec = total_pivots / wall
 
-    # single-core HiGHS baseline on the same distribution
+    # single-core HiGHS baseline on a readback sample of the distribution
     try:
         from scipy.optimize import linprog as scipy_linprog
 
+        k = args.highs_samples
+        c_s = np.asarray(c0[:k])
+        G_s = np.asarray(G0[:k])
+        h_s = np.asarray(h0[:k])
         t0 = time.time()
         gaps = []
-        for i in range(args.highs_samples):
+        for i in range(k):
             ref = scipy_linprog(
-                c0[i], A_ub=G0[i], b_ub=h0[i], bounds=(0, None), method="highs"
+                c_s[i], A_ub=G_s[i], b_ub=h_s[i], bounds=(0, None),
+                method="highs",
             )
             if ref.status == 0:
                 gaps.append(
                     abs(float(first_costs[i]) - ref.fun) / max(1.0, abs(ref.fun))
                 )
-        highs_sec_per_lp = (time.time() - t0) / max(1, args.highs_samples)
+        highs_sec_per_lp = (time.time() - t0) / max(1, k)
         highs_lps = 1.0 / highs_sec_per_lp
         max_gap = max(gaps) if gaps else float("nan")
     except Exception:  # scipy unavailable: no baseline ratio

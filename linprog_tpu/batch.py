@@ -36,40 +36,20 @@ from .config import DEFAULT_CONFIG, SolverConfig
 from .results import BatchResult
 
 
-def _vrun(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: str):
-    """vmap the engine loop over lanes; `allowed` is shared (unbatched)."""
+def _run_chunked(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: str):
+    """Drive the batch to termination.
+
+    The primal mode routes through the explicitly-batched engine (tuned
+    einsum or Pallas kernels per ``cfg.kernels``, periodic refactorization);
+    the dual mode uses the vmapped per-lane engine.
+    """
+    if mode == "primal":
+        from .engine_batched import run_batched
+
+        return run_batched(c, A, b, states, allowed, maxiters, cfg)
     return jax.vmap(
         engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
     )(c, A, b, states, allowed, maxiters, cfg, mode)
-
-
-def _run_chunked(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: str):
-    """Drive the batch in refactor-sized chunks.
-
-    Between chunks, every still-running lane gets a fresh ``inv(A[:, basis])``
-    (batched inversion on the MXU).  The any-lane-running check is a scalar,
-    so finished batches skip both the loop and the refactorization.
-    """
-    if cfg.refactor_every <= 0 or cfg.update != "eta":
-        return _vrun(c, A, b, states, allowed, maxiters, cfg, mode)
-
-    chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
-    maxiters = jnp.asarray(maxiters, jnp.int32)
-    inner_cfg = cfg.replace(refactor_every=0)
-
-    def any_running(ss):
-        return jnp.any((ss.status == st.RUNNING) & (ss.iters < maxiters))
-
-    def body(ss):
-        hi = jnp.minimum(jnp.max(ss.iters) + chunk, maxiters)
-        ss = _vrun(c, A, b, ss, allowed, hi, inner_cfg, mode)
-        fresh = jax.vmap(engine.refactorize, in_axes=(0, 0, 0))(A, b, ss)
-        running = (ss.status == st.RUNNING)[:, None]
-        inv_B = jnp.where(running[..., None], fresh.inv_B, ss.inv_B)
-        bfs = jnp.where(running, fresh.bfs, ss.bfs)
-        return ss._replace(inv_B=inv_B, bfs=bfs)
-
-    return lax.while_loop(any_running, body, states)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mode"))

@@ -65,6 +65,13 @@ class SolverConfig:
     pricing: str = "bland"
     refactor_every: int = 0
     dtype: str = "float32"
+    kernels: str = "xla"  # "xla" | "pallas" -- batched hot-op implementation
+    # refactorization method between segments/chunks:
+    # "inv" -- exact batched inversion (O(m^3) LU; slow on TPU)
+    # "ns"  -- two Newton-Schulz refinement steps (4 batched matmuls;
+    #          quadratic residual reduction, ~100x faster, needs the eta
+    #          factors to still be a reasonable approximation)
+    refactor_method: str = "inv"
 
     def __post_init__(self):
         if self.update not in ("eta", "naive"):
@@ -73,6 +80,10 @@ class SolverConfig:
             raise ValueError(f"unknown pricing rule: {self.pricing!r}")
         if self.dtype not in _DTYPES:
             raise ValueError(f"unknown dtype: {self.dtype!r}")
+        if self.kernels not in ("xla", "pallas"):
+            raise ValueError(f"unknown kernels impl: {self.kernels!r}")
+        if self.refactor_method not in ("inv", "ns"):
+            raise ValueError(f"unknown refactor method: {self.refactor_method!r}")
 
     @property
     def jnp_dtype(self):

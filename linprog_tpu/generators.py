@@ -32,15 +32,50 @@ def random_inequality_lps(
     bounded by construction.
     """
     rng = np.random.default_rng(seed)
-    G = rng.normal(size=(batch, m, n)).astype(dtype)
-    x0 = rng.uniform(0.0, 1.0, size=(batch, n)).astype(dtype)
-    slack = rng.uniform(0.0, 1.0, size=(batch, m)).astype(dtype)
+    G = rng.standard_normal(size=(batch, m, n), dtype=np.float32).astype(dtype, copy=False)
+    x0 = rng.random(size=(batch, n), dtype=np.float32).astype(dtype, copy=False)
+    slack = rng.random(size=(batch, m), dtype=np.float32).astype(dtype, copy=False)
     h = np.einsum("bmn,bn->bm", G, x0) + slack
 
-    y0 = rng.uniform(0.0, 1.0, size=(batch, m)).astype(dtype)
-    s = rng.uniform(0.1, 1.0, size=(batch, n)).astype(dtype)
+    y0 = rng.random(size=(batch, m), dtype=np.float32).astype(dtype, copy=False)
+    s = 0.1 + 0.9 * rng.random(size=(batch, n), dtype=np.float32).astype(dtype, copy=False)
     c = s - np.einsum("bmn,bm->bn", G, y0)
-    return c.astype(dtype), G, h.astype(dtype)
+    return c.astype(dtype, copy=False), G, h.astype(dtype, copy=False)
+
+
+def device_inequality_lps(key, batch: int, m: int, n: int):
+    """Device-side batch generator: same construction as
+    :func:`random_inequality_lps`, entirely in jitted JAX ops (no host data,
+    no host->device transfer -- only a PRNG key crosses the wire).
+
+    Returns ``(c[B, n], G[B, m, n], h[B, m])`` on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kG, kx, ks0, ky, ks = jax.random.split(key, 5)
+    G = jax.random.normal(kG, (batch, m, n), jnp.float32)
+    x0 = jax.random.uniform(kx, (batch, n), jnp.float32)
+    slack = jax.random.uniform(ks0, (batch, m), jnp.float32)
+    h = jnp.einsum("bmn,bn->bm", G, x0) + slack
+    y0 = jax.random.uniform(ky, (batch, m), jnp.float32)
+    s = jax.random.uniform(ks, (batch, n), jnp.float32, minval=0.1, maxval=1.0)
+    c = s - jnp.einsum("bmn,bm->bn", G, y0)
+    return c, G, h
+
+
+def device_standard_form_batch(c, G, h):
+    """Device-side ``min c'x, Gx <= h`` -> ``[G | I] x = h`` with sign fix."""
+    import jax.numpy as jnp
+
+    B, m, n = G.shape
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=G.dtype), (B, m, m))
+    A = jnp.concatenate([G, eye], axis=2)
+    neg = (h < 0)[:, :, None]
+    A = jnp.where(neg, -A, A)
+    b = jnp.abs(h)
+    c_std = jnp.concatenate([c, jnp.zeros((B, m), G.dtype)], axis=1)
+    return c_std, A, b
 
 
 def to_standard_form_batch(c, G, h):

@@ -1,0 +1,247 @@
+"""Whole-segment simplex mega-kernel: the entire iteration loop in VMEM.
+
+The step-level kernels still pay the fundamental tax of one HBM pass over
+``A`` (and three over ``inv_B``) per pivot.  For m <= ~512 a lane's whole
+working set fits in VMEM (A ~0.8MB + inv_B^T ~0.26MB + vectors), so this
+kernel runs up to ``seg_len`` *complete simplex iterations per lane* --
+pricing, entering selection, ratio test, rank-1 eta update, basis/cost/
+penalty bookkeeping, status transitions -- without touching HBM at all.
+HBM traffic drops from O(iters * (A + 3 inv_B)) to O(segments * (A + inv_B));
+with seg_len = 64..128 that is a ~100x reduction, leaving the VPU/MXU as the
+limit.  Periodic refactorization happens between segments in XLA
+(``jnp.linalg.inv`` has no Mosaic lowering, and it bounds eta drift anyway).
+
+Performance-critical layout rules learned on v5e hardware:
+
+* EVERY vector lives as a row ``(1, k)``: cross-LANE reductions (min/sum/
+  argmin-via-iota) are fast VPU ops, while the same reductions on column
+  vectors ``(k, 1)`` serialize across sublanes and dominated the first
+  version of this kernel (~5x slowdown).
+* no transposes per iteration: the factor is stored as ``inv_B^T`` and all
+  matmuls use ``dot_general`` with transposed contracting dims, which the
+  MXU consumes natively --
+  pricing ``y = c_B inv_B``             -> contract cB.1 x invBT.1,
+  column fetch ``a = A[:, enter]``      -> contract onehot.1 x A.1,
+  direction ``d = inv_B a``             -> contract a.1 x invBT.0,
+  eta column ``invB^T e_leave``         -> (m,1) onehot matmul;
+* dynamic element reads (``d[leave]``, ``c[enter]``...) are masked lane
+  reductions over iota -- Mosaic has no scalar gathers from VMEM values;
+* matmuls force ``Precision.HIGHEST``: the MXU's default bf16 passes make
+  reduced costs inaccurate enough to flip pivot choices and stop early at
+  wrong vertices (observed, not hypothetical);
+* per-lane scalars (iters, status) ride in SMEM.
+
+State refs are input/output-aliased, so a segment updates solver state
+in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import status as st
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _dotg(a, b, a_dim, b_dim):
+    """2D dot_general contracting ``a_dim`` of a with ``b_dim`` of b."""
+    return lax.dot_general(
+        a, b, (((a_dim,), (b_dim,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+
+
+def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
+                          pivot_tol: float,
+                          # inputs
+                          A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
+                          iters_in_ref, status_in_ref,
+                          invBT_in_ref, bfs_in_ref, cB_in_ref, basis_in_ref,
+                          pen_in_ref,
+                          # outputs (first five aliased to the last five inputs)
+                          invBT_ref, bfs_ref, cB_ref, basis_ref, pen_ref,
+                          iters_out_ref, status_out_ref):
+    m, n = A_ref.shape[1], A_ref.shape[2]
+    lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    # initialize aliased state (self-copy under real aliasing; required for
+    # interpreter mode where outputs start uninitialized)
+    invBT_ref[0] = invBT_in_ref[0]
+    bfs_ref[0] = bfs_in_ref[0]
+    cB_ref[0] = cB_in_ref[0]
+    basis_ref[0] = basis_in_ref[0]
+    pen_ref[0] = pen_in_ref[0]
+
+    maxiters = maxiters_ref[0, 0, 0]
+
+    def cond(carry):
+        seg, iters, status = carry
+        return (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
+
+    def body(carry):
+        seg, iters, status = carry
+        A = A_ref[0]  # (m, n)
+        invBT = invBT_ref[0]  # (m, m) = inv_B^T
+        bfs = bfs_ref[0]  # (1, m)
+        cB = cB_ref[0]  # (1, m)
+        basis = basis_ref[0]  # (1, m) i32
+        pen = pen_ref[0]  # (1, n)
+
+        # ---- pricing: y = c_B inv_B; r = c - y A (+ mask penalty) --------
+        y = _dotg(cB, invBT, 1, 1)  # (1, m)
+        r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
+
+        if dantzig:
+            best = jnp.min(r)
+            enter = jnp.min(jnp.where(r == best, lane_n, n))
+            eligible = best < -opt_tol
+        else:
+            neg = r < -opt_tol
+            enter = jnp.min(jnp.where(neg, lane_n, n))
+            eligible = jnp.any(neg)
+            enter = jnp.where(eligible, enter, 0)
+
+        # ---- direction + ratio test --------------------------------------
+        a_row = AT_ref[0, pl.ds(enter, 1), :]  # (1, m) == A[:, enter]^T
+        d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
+        pos = d > pivot_tol
+        any_pos = jnp.any(pos)
+        theta = jnp.where(pos, bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf)
+        best_t = jnp.min(theta)
+        leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
+        leave = jnp.where(any_pos, leave, 0)
+
+        do_pivot = eligible & any_pos
+        at_leave = lane_m == leave  # (1, m)
+        d_l = jnp.sum(jnp.where(at_leave, d, 0.0))
+        safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
+        u = -d / safe
+        u = jnp.where(at_leave, 1.0 / safe - 1.0, u)
+        u = jnp.where(do_pivot, u, jnp.zeros_like(u))  # (1, m)
+
+        # ---- rank-1 eta update of inv_B^T:  invBT += (invBT e_l) u -------
+        onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
+        col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1) col `leave` of inv_B^T
+        invBT_ref[0] = invBT + col_l * u
+        bfs_l = jnp.sum(jnp.where(at_leave, bfs, 0.0))
+        bfs_ref[0] = bfs + u * bfs_l
+
+        # ---- bookkeeping: basis, c_B, penalty ----------------------------
+        leaving_col = jnp.sum(jnp.where(at_leave, basis, 0))
+        basis_ref[0] = jnp.where(
+            at_leave & do_pivot, enter, basis
+        ).astype(jnp.int32)
+        c_enter = jnp.sum(jnp.where(lane_n == enter, c_ref[0], 0.0))
+        cB_new = jnp.where(at_leave, c_enter, cB)
+        cB_ref[0] = jnp.where(do_pivot, cB_new, cB)
+        pen_new = jnp.where(
+            lane_n == enter,
+            jnp.inf,
+            jnp.where(lane_n == leaving_col, apen_ref[0], pen),
+        )
+        pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
+
+        status = jnp.where(
+            jnp.logical_not(eligible),
+            st.OPTIMAL,
+            jnp.where(eligible & jnp.logical_not(any_pos),
+                      st.PRIMAL_UNBOUNDED, st.RUNNING),
+        ).astype(jnp.int32)
+        return seg + 1, iters + 1, status
+
+    seg0 = jnp.zeros((), jnp.int32)
+    iters0 = iters_in_ref[0, 0, 0]
+    status0 = status_in_ref[0, 0, 0]
+    _, iters_f, status_f = lax.while_loop(cond, body, (seg0, iters0, status0))
+    iters_out_ref[0, 0, 0] = iters_f
+    status_out_ref[0, 0, 0] = status_f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg_len", "dantzig", "opt_tol", "pivot_tol", "interpret"),
+    donate_argnums=(5, 6, 7, 8, 9),
+)
+def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
+                  iters, status, *, seg_len: int, dantzig: bool,
+                  opt_tol: float, pivot_tol: float,
+                  interpret: bool | None = None):
+    """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
+
+    Shapes: ``A[B, m, n]``, ``AT[B, n, m]``, ``c_row[B, 1, n]``,
+    ``apen[B, 1, n]`` (allowed
+    penalty: +inf on columns that may never enter), ``maxiters[1,1,1]`` i32,
+    ``invBT[B, m, m]`` (the TRANSPOSED basis inverse), ``bfs[B, 1, m]``,
+    ``cB[B, 1, m]``, ``basis[B, 1, m]`` i32, ``pen[B, 1, n]`` (current
+    penalty: +inf on basis and disallowed columns), ``iters[B,1,1]`` i32,
+    ``status[B,1,1]`` i32.
+
+    Returns updated ``(invBT, bfs, cB, basis, pen, iters, status)``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    B, m, n = A.shape
+    kernel = functools.partial(
+        _solve_segment_kernel, seg_len, dantzig, opt_tol, pivot_tol
+    )
+
+    def lane(i):
+        return (i, 0, 0)
+
+    def shared(i):
+        return (0, 0, 0)
+
+    vmem = pltpu.VMEM
+    smem = pltpu.SMEM
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m, n), lane, memory_space=vmem),  # A
+            pl.BlockSpec((1, n, m), lane, memory_space=vmem),  # AT
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # c_row
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # apen
+            pl.BlockSpec((1, 1, 1), shared, memory_space=smem),  # maxiters
+            pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # iters
+            pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # status
+            pl.BlockSpec((1, m, m), lane, memory_space=vmem),  # invBT
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # bfs
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # cB
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # basis
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # pen
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m, m), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1), lane, memory_space=smem),
+            pl.BlockSpec((1, 1, 1), lane, memory_space=smem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m, m), invBT.dtype),
+            jax.ShapeDtypeStruct((B, 1, m), bfs.dtype),
+            jax.ShapeDtypeStruct((B, 1, m), cB.dtype),
+            jax.ShapeDtypeStruct((B, 1, m), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, n), pen.dtype),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
+        interpret=interpret,
+    )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
+    return outs

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# enable float64 on the CPU test backend (the float32 default path keeps
+# f32 via explicit dtypes in forms/config; x64 lets oracle-parity tests run
+# in real double precision)
+jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"

@@ -1,0 +1,69 @@
+"""The explicitly-batched engine (xla and pallas-interpret kernels) must be
+step-for-step identical to the vmapped per-lane engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu import SolverConfig, engine
+from linprog_tpu import status as st
+from linprog_tpu.engine_batched import batched_primal_step, run_batched
+from linprog_tpu.generators import random_inequality_lps, to_standard_form_batch
+
+
+def _setup(B=6, m=8, n=10, seed=0):
+    c, G, h = random_inequality_lps(B, m, n, seed=seed)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    csj = jnp.asarray(cs)
+    Asj = jnp.asarray(As)
+    bsj = jnp.asarray(bs)
+    ntot = cs.shape[1]
+    c1 = jnp.concatenate(
+        [jnp.zeros((B, ntot), jnp.float32), jnp.ones((B, m), jnp.float32)], axis=1
+    )
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32), (B, m, m))
+    A1 = jnp.concatenate([Asj, eye], axis=2)
+    states = jax.vmap(engine.artificial_state, in_axes=(0, None))(bsj, ntot)
+    allowed = jnp.ones((ntot + m,), bool)
+    return c1, A1, bsj, states, allowed
+
+
+@pytest.mark.parametrize("kernels", ["xla", "pallas"])
+@pytest.mark.parametrize("pricing", ["bland", "dantzig"])
+def test_batched_step_matches_vmapped_step(kernels, pricing):
+    cfg = SolverConfig(pricing=pricing, kernels=kernels, dtype="float32")
+    c1, A1, bsj, states, allowed = _setup()
+    # several steps, comparing full state each time
+    vstates = states
+    bstates = states
+    for step_i in range(12):
+        vstates = jax.vmap(
+            lambda cc, AA, bb, s: engine.primal_step(cc, AA, bb, allowed, s, cfg)
+        )(c1, A1, bsj, vstates)
+        bstates = batched_primal_step(c1, A1, bsj, allowed, bstates, cfg, 100)
+        assert np.array_equal(np.asarray(vstates.basis), np.asarray(bstates.basis)), step_i
+        assert np.array_equal(np.asarray(vstates.status), np.asarray(bstates.status))
+        # float32 accumulation order differs between the kernel dot and the
+        # vmapped einsum; basis/status must match exactly, floats to ~1e-4
+        np.testing.assert_allclose(
+            np.asarray(vstates.bfs), np.asarray(bstates.bfs), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(vstates.inv_B), np.asarray(bstates.inv_B), atol=2e-4, rtol=2e-4
+        )
+
+
+@pytest.mark.parametrize("kernels", ["xla", "pallas"])
+def test_run_batched_full_solve(kernels):
+    cfg = SolverConfig(
+        pricing="dantzig", kernels=kernels, refactor_every=8, dtype="float32"
+    )
+    c1, A1, bsj, states, allowed = _setup(seed=3)
+    out = run_batched(c1, A1, bsj, states, allowed, 200, cfg)
+    status = np.asarray(out.status)
+    assert (status == st.OPTIMAL).all()
+    # phase-1 objective (sum of artificials) must reach ~0 for feasible LPs
+    art = np.asarray(out.basis) >= (c1.shape[1] - bsj.shape[1])
+    art_mass = np.where(art, np.asarray(out.bfs), 0.0).sum(axis=1)
+    assert (art_mass < 1e-4).all()

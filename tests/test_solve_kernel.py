@@ -1,0 +1,89 @@
+"""The whole-segment mega-kernel must match the vmapped engine exactly:
+same pivots, same bases, same statuses, same iteration counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu import SolverConfig, engine
+from linprog_tpu import status as st
+from linprog_tpu.engine_batched import run_batched_pallas
+from linprog_tpu.generators import random_inequality_lps, to_standard_form_batch
+
+
+def _setup(B=6, m=8, n=10, seed=0):
+    c, G, h = random_inequality_lps(B, m, n, seed=seed)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    csj, Asj, bsj = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    ntot = cs.shape[1]
+    c1 = jnp.concatenate(
+        [jnp.zeros((B, ntot), jnp.float32), jnp.ones((B, m), jnp.float32)], axis=1
+    )
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32), (B, m, m))
+    A1 = jnp.concatenate([Asj, eye], axis=2)
+    states = jax.vmap(engine.artificial_state, in_axes=(0, None))(bsj, ntot)
+    allowed = jnp.ones((ntot + m,), bool)
+    return c1, A1, bsj, states, allowed
+
+
+@pytest.mark.parametrize("pricing", ["bland", "dantzig"])
+@pytest.mark.parametrize("seed", [0, 4])
+def test_mega_kernel_matches_vmapped_engine(pricing, seed):
+    cfg = SolverConfig(pricing=pricing, kernels="pallas", refactor_every=0,
+                       dtype="float32")
+    c1, A1, bsj, states, allowed = _setup(seed=seed)
+
+    # reference: vmapped per-lane engine to completion
+    ref = jax.vmap(
+        engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
+    )(c1, A1, bsj, states, allowed, 100, cfg.replace(kernels="xla"), "primal")
+
+    out = run_batched_pallas(c1, A1, bsj, states, allowed, 100, cfg)
+
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.iters), np.asarray(ref.iters))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    np.testing.assert_allclose(
+        np.asarray(out.bfs), np.asarray(ref.bfs), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_mega_kernel_with_refactor_segments():
+    cfg = SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=3,
+                       dtype="float32")
+    c1, A1, bsj, states, allowed = _setup(seed=7)
+    out = run_batched_pallas(c1, A1, bsj, states, allowed, 100, cfg)
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    # phase-1 objective reaches zero (feasible instances)
+    n_struct = c1.shape[1] - bsj.shape[1]
+    art = np.asarray(out.basis) >= n_struct
+    art_mass = np.where(art, np.asarray(out.bfs), 0.0).sum(axis=1)
+    assert (art_mass < 1e-4).all()
+
+
+def test_mega_kernel_respects_maxiters():
+    cfg = SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=0)
+    c1, A1, bsj, states, allowed = _setup(seed=1)
+    out = run_batched_pallas(c1, A1, bsj, states, allowed, 2, cfg)
+    assert (np.asarray(out.iters) <= 2).all()
+
+
+def test_mega_kernel_two_phase_end_to_end():
+    from linprog_tpu.batch import solve_batch_two_phase
+
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    B, m, n = 8, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=9)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cfg = SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=16)
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 300, 300, cfg
+    )
+    assert (np.asarray(res.status) == st.OPTIMAL).all()
+    for i in range(B):
+        ref = scipy_opt.linprog(
+            c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None), method="highs"
+        )
+        assert ref.status == 0
+        assert abs(float(res.cost[i]) - ref.fun) / max(1.0, abs(ref.fun)) < 5e-5
