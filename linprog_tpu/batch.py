@@ -142,6 +142,76 @@ def _to_result(c, states: engine.SimplexState, n: int) -> BatchResult:
     )
 
 
+def solve_batch_general(
+    problems,
+    maxiters1: int = 1000,
+    maxiters2: int = 1000,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+):
+    """Solve a heterogeneous batch of general-form LPs in one device batch.
+
+    ``problems`` is a sequence of dicts with keys ``c`` and any of
+    ``A, b, G, h`` (the `SimplexSolver` input surface).  Each instance is
+    canonicalized on the host, padded to the common static shape
+    (:func:`linprog_tpu.forms.pad_problem`), and the whole batch solves in
+    one compiled two-phase computation.  Returns a list of
+    :class:`LinProgResult`, one per instance, with ``x`` in each instance's
+    original variable space.
+
+    This is the batched counterpart of the reference's single-instance
+    ``SimplexSolver`` front end (reference ``linprog/simplex.py:10-102``),
+    which has no batch concept at all.
+    """
+    import numpy as np
+
+    from . import forms
+    from .results import LinProgResult
+
+    dtype = np.dtype(cfg.dtype)
+    canon = []
+    for p in problems:
+        c_std, A_std, b_std, num_slack = forms.general_to_standard(
+            p["c"], A=p.get("A"), b=p.get("b"), G=p.get("G"), h=p.get("h"),
+            dtype=dtype,
+        )
+        n_orig = np.asarray(p["c"]).shape[0]
+        canon.append((c_std, A_std, b_std, n_orig))
+
+    m_pad = max(A.shape[0] for _, A, _, _ in canon)
+    n_pad = max(A.shape[1] for _, A, _, _ in canon) + m_pad
+    cs, As, bs = [], [], []
+    for c_std, A_std, b_std, _ in canon:
+        c_p, A_p, b_p, _, _ = forms.pad_problem(c_std, A_std, b_std, m_pad, n_pad)
+        cs.append(c_p)
+        As.append(A_p)
+        bs.append(b_p)
+    res = solve_batch_two_phase(
+        jnp.asarray(np.stack(cs)),
+        jnp.asarray(np.stack(As)),
+        jnp.asarray(np.stack(bs)),
+        maxiters1,
+        maxiters2,
+        cfg,
+    )
+    x = np.asarray(res.x)
+    status = np.asarray(res.status)
+    iters = np.asarray(res.iters)
+    out = []
+    for i, (c_std, _, _, n_orig) in enumerate(canon):
+        xi = x[i, :n_orig]
+        out.append(
+            LinProgResult(
+                x=xi,
+                basis=None,
+                cost=float(np.asarray(problems[i]["c"], dtype=dtype) @ xi),
+                iters=int(iters[i]),
+                optimum=bool(status[i] == st.OPTIMAL),
+                status=int(status[i]),
+            )
+        )
+    return out
+
+
 def batch_summary(result: BatchResult) -> dict:
     """Host-side aggregate metrics (observability; SURVEY.md section 5)."""
     import numpy as np

@@ -1,0 +1,88 @@
+"""Auxiliary subsystems: checkpoint/resume, observability, batched general API."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from linprog_tpu import PrimalRevisedSimplexSolver, SolverConfig
+from linprog_tpu import status as st
+from linprog_tpu.batch import solve_batch_general, solve_batch_two_phase
+from linprog_tpu.checkpoint import load_state, save_state
+from linprog_tpu.generators import random_inequality_lps, to_standard_form_batch
+from linprog_tpu.observability import solve_report, solution_quality, trace
+from tests.problems import PRIMAL_PROBLEMS
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    p = PRIMAL_PROBLEMS[0]
+    solver = PrimalRevisedSimplexSolver(p.c, p.A, p.b, p.starting_basis)
+    solver.solve(maxiters=2)  # partial progress
+    path = str(tmp_path / "state.npz")
+    save_state(path, solver.state)
+
+    restored = load_state(path)
+    assert np.array_equal(np.asarray(restored.basis), solver.basis)
+    np.testing.assert_allclose(
+        np.asarray(restored.inv_B), solver.inv_basis_matrix, rtol=1e-6
+    )
+
+    # resume from the restored state in a fresh solver
+    fresh = PrimalRevisedSimplexSolver(p.c, p.A, p.b, restored.basis)
+    fresh._state = restored
+    res = fresh.solve(maxiters=100)
+    assert res.optimum
+    assert np.array_equal(np.sort(res.basis), np.sort(p.optimal_basis))
+
+
+def test_solve_report_and_quality():
+    B, m, n = 4, 6, 9
+    c, G, h = random_inequality_lps(B, m, n, seed=2)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    csj, Asj, bsj = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    with trace(label="test_solve"):
+        res = solve_batch_two_phase(csj, Asj, bsj, 200, 200)
+    assert trace.last_elapsed_s is not None
+    report = solve_report(res, csj, Asj, bsj)
+    assert report["lanes"] == B
+    assert report["status_counts"].get("OPTIMAL", 0) == B
+    assert report["quality"]["max_primal_residual"] < 1e-3
+    assert report["quality"]["max_bound_violation"] < 1e-5
+
+    q = solution_quality(csj, Asj, bsj, res.x)
+    assert q["objective"].shape == (B,)
+
+
+def test_solve_batch_general_heterogeneous():
+    problems = [
+        # equality-form textbook problem
+        {"c": PRIMAL_PROBLEMS[0].c, "A": PRIMAL_PROBLEMS[0].A, "b": PRIMAL_PROBLEMS[0].b},
+        # inequality-only problem: min -x1-x2 st x1+x2<=4, x1<=3
+        {"c": np.array([-1.0, -1.0]), "G": np.array([[1.0, 1.0], [1.0, 0.0]]),
+         "h": np.array([4.0, 3.0])},
+        # mixed equality + inequality
+        {"c": np.array([-1.0, -2.0, 0.0]), "A": np.array([[1.0, 1.0, 1.0]]),
+         "b": np.array([4.0]), "G": np.array([[0.0, 1.0, 0.0]]),
+         "h": np.array([2.0])},
+    ]
+    results = solve_batch_general(problems)
+    assert all(r.optimum for r in results)
+    p0 = PRIMAL_PROBLEMS[0]
+    assert results[0].cost == pytest.approx(
+        float(p0.c[p0.optimal_basis] @ p0.optimal_bfs), abs=1e-3
+    )
+    assert results[1].cost == pytest.approx(-4.0, abs=1e-4)
+    assert results[2].cost == pytest.approx(-6.0, abs=1e-4)
+    assert results[1].x.shape == (2,)
+    assert results[2].x.shape == (3,)
+
+
+def test_solve_batch_general_flags_infeasible_lane():
+    problems = [
+        {"c": np.zeros(2), "A": np.array([[-1.0, -1.0]]), "b": np.array([1.0])},
+        {"c": np.array([-1.0, -1.0]), "G": np.array([[1.0, 1.0]]),
+         "h": np.array([2.0])},
+    ]
+    results = solve_batch_general(problems)
+    assert results[0].status == st.PRIMAL_INFEASIBLE
+    assert results[1].optimum

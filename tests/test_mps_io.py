@@ -1,0 +1,105 @@
+"""Native MPS reader: build, parse, solve end-to-end."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from linprog_tpu import SimplexSolver
+from linprog_tpu.io import mps_to_solver_inputs, read_mps
+
+SIMPLE_MPS = textwrap.dedent("""\
+    * sample LP:
+    *   min -x - 2y  s.t.  x + y <= 4,  y <= 2,  x + 2y >= 1,  x3 fixed
+    NAME          SAMPLE
+    ROWS
+     N  COST
+     L  CAP
+     L  YLIM
+     G  MIN1
+     E  FIX3
+    COLUMNS
+        X         COST      -1.0       CAP        1.0
+        X         MIN1       1.0
+        Y         COST      -2.0       CAP        1.0
+        Y         YLIM       1.0       MIN1       2.0
+        Z         FIX3       1.0
+    RHS
+        RHS       CAP        4.0       YLIM       2.0
+        RHS       MIN1       1.0      FIX3        1.5
+    BOUNDS
+     UP BND       X          3.0
+    ENDATA
+    """)
+
+
+@pytest.fixture()
+def mps_file(tmp_path):
+    p = tmp_path / "sample.mps"
+    p.write_text(SIMPLE_MPS)
+    return str(p)
+
+
+def test_parse_structure(mps_file):
+    prob = read_mps(mps_file)
+    assert prob.name == "SAMPLE"
+    assert not prob.maximize
+    assert prob.col_names == ["X", "Y", "Z"]
+    assert list(prob.row_types) == ["L", "L", "G", "E"]
+    assert np.allclose(prob.rhs, [4.0, 2.0, 1.0, 1.5])
+    assert np.allclose(prob.c, [-1.0, -2.0, 0.0])
+    assert prob.ub[0] == 3.0 and np.isinf(prob.ub[1])
+    A = prob.A
+    assert A[0, 0] == 1.0 and A[0, 1] == 1.0  # CAP
+    assert A[3, 2] == 1.0  # FIX3
+
+
+def test_parse_error_reporting(tmp_path):
+    bad = tmp_path / "bad.mps"
+    bad.write_text("ROWS\n L  R1\nGARBAGE SECTION\nENDATA\n")
+    with pytest.raises(ValueError, match="unknown section"):
+        read_mps(str(bad))
+
+
+def test_solve_parsed_problem(mps_file):
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    prob = read_mps(mps_file)
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    assert res.optimum
+
+    ref = scipy_opt.linprog(
+        prob.c,
+        A_ub=np.concatenate([prob.A[[0, 1]], -prob.A[[2]]]),
+        b_ub=np.array([4.0, 2.0, -1.0]),
+        A_eq=prob.A[[3]],
+        b_eq=np.array([1.5]),
+        bounds=list(zip(prob.lb, np.where(np.isinf(prob.ub), None, prob.ub))),
+        method="highs",
+    )
+    assert ref.status == 0
+    assert res.cost == pytest.approx(ref.fun, abs=1e-4)
+
+
+def test_maximize_objsense(tmp_path):
+    text = textwrap.dedent("""\
+        NAME MAXLP
+        OBJSENSE
+            MAX
+        ROWS
+         N  OBJ
+         L  R1
+        COLUMNS
+            X   OBJ   1.0   R1   1.0
+        RHS
+            RHS R1    5.0
+        ENDATA
+        """)
+    p = tmp_path / "max.mps"
+    p.write_text(text)
+    prob = read_mps(str(p))
+    assert prob.maximize
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    # max x s.t. x <= 5 -> x = 5 (internal min form cost -5)
+    assert res.x[0] == pytest.approx(5.0, abs=1e-5)
