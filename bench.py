@@ -44,7 +44,7 @@ def main():
     )
 
     cfg = SolverConfig(
-        pricing="dantzig", refactor_every=128, kernels="pallas",
+        pricing="dantzig", refactor_every=192, kernels="pallas",
         refactor_method="inv",
     )
     m, n, chunk = args.m, args.n, args.chunk

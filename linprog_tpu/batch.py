@@ -117,6 +117,14 @@ def solve_batch_two_phase(
     allowed2 = jnp.arange(n + m) < n
     states = _run_chunked(c2, A1, b, states, allowed2, maxiters2, cfg, "primal")
 
+    # final accuracy pass: the basis is discrete (and terminal), but the
+    # reported x comes from the drifted eta-product bfs.  One exact solve of
+    # B x_B = b at the final basis collapses the float32 objective gap by
+    # ~1-2 orders of magnitude for ~0.2s per 1024x256 batch.
+    B_final = jnp.take_along_axis(A1, states.basis[:, None, :], axis=2)
+    bfs_exact = jnp.linalg.solve(B_final, b[:, :, None])[:, :, 0]
+    states = states._replace(bfs=bfs_exact)
+
     res = _to_result(c2, states, n + m)
     # report x/cost in the structural space
     return BatchResult(

@@ -245,6 +245,9 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             # polish: exact factors, re-open finished lanes, resume; a lane
             # that was truly terminal re-terminates in one in-VMEM iteration.
             # Repeat until no lane moves more than that single check step.
+            # (Not worth it for the exact-inv method: measured float32
+            # objective gaps ~5e-4 at m=256 are the f32 pricing accuracy
+            # floor -- polish re-confirms the same vertex at +40% runtime.)
             def polish_cond(pc):
                 carry, rnd, clean = pc
                 return (rnd < 3) & jnp.logical_not(clean)
