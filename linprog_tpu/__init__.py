@@ -17,6 +17,7 @@ from .api import (
     PrimalRevisedSimplexSolver,
     SimplexSolver,
 )
+from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
 from .config import DEFAULT_CONFIG, SolverConfig
 from .engine import SimplexState
@@ -41,6 +42,8 @@ __all__ = [
     "PhaseOneSimplexSolver",
     "BoundedVariablePrimalSimplexSolver",
     "PrimalDualAlgorithm",
+    "PDHGSolver",
+    "PDHGConfig",
     "SimplexSolver",
     "SolverConfig",
     "DEFAULT_CONFIG",

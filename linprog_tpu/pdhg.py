@@ -1,0 +1,284 @@
+"""PDHG (PDLP-style) first-order LP solver -- the second solver family.
+
+The simplex engines are exact and pivot-bound; for very large instances the
+accelerator-native approach is a matrix-free first-order method (PDLP /
+cuPDLP line of work -- see PAPERS.md).  This is a restarted average-iterate
+primal-dual hybrid gradient for
+
+    min c'x   s.t.  A x = b,  G x <= h,  lb <= x <= ub
+
+Everything is matvecs + projections -- MXU/VPU-friendly, fully jittable,
+batched with one ``vmap``, sharded like any other batch.  Iteration
+(Chambolle-Pock with extrapolation, constraints stacked as K x ~ q):
+
+    L(x, y) = c'x + y'(Kx - q),  Y = {y : y_ineq >= 0}   (ineq rows: Kx <= q)
+    x+ = proj_[lb,ub](x - tau (c + K'y))
+    y+ = proj_Y(y + sigma (K (2 x+ - x) - q))
+
+with ``proj_Y`` the identity on equality duals and ``max(0, .)`` on
+inequality duals, and ``tau sigma ||K||^2 <= 1`` via a power-iteration
+estimate of ``||K||``.  Fixed-frequency restarts to the running average
+iterate give the ergodic O(1/k) -> linear-ish practical behavior of PDLP's
+restart scheme (simplified: fixed cadence instead of adaptive).
+
+Termination: relative KKT residuals (primal feasibility, dual feasibility,
+duality gap), checked on-device every ``check_every`` iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import status as st
+from .results import LinProgResult
+
+
+@dataclasses.dataclass(frozen=True)
+class PDHGConfig:
+    eps_rel: float = 1e-4
+    maxiters: int = 100_000
+    check_every: int = 64
+    restart_every: int = 512
+    power_iters: int = 30
+    omega: float = 1.0  # primal weight: tau = omega/||K||, sigma = 1/(omega ||K||)
+    dtype: str = "float32"
+
+    @property
+    def jnp_dtype(self):
+        return {"float32": jnp.float32, "float64": jnp.float64}[self.dtype]
+
+
+DEFAULT_PDHG_CONFIG = PDHGConfig()
+
+
+class PDHGState(NamedTuple):
+    x: jax.Array  # [n]
+    y: jax.Array  # [m_eq + m_ineq]
+    x_sum: jax.Array  # running sums for average-iterate restarts
+    y_sum: jax.Array
+    inner_count: jax.Array  # iterations since last restart
+    iters: jax.Array
+    status: jax.Array
+
+
+def _estimate_norm(K, iters: int, seed: int = 0):
+    """Power iteration for ||K||_2 (device-side, jittable)."""
+    v = jax.random.normal(jax.random.PRNGKey(seed), (K.shape[1],), K.dtype)
+
+    def body(_, v):
+        w = K @ v
+        u = K.T @ w
+        return u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+
+    v = lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    return jnp.linalg.norm(K @ v) / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+
+def _kkt_residuals(c, K, q, n_eq, lb, ub, x, y):
+    """Relative KKT residuals (primal, dual, gap)."""
+    Kx = K @ x
+    # primal: equality rows exact, inequality rows one-sided (Kx <= q)
+    viol = Kx - q
+    m = q.shape[0]
+    is_ineq = jnp.arange(m) >= n_eq
+    pr = jnp.where(is_ineq, jnp.maximum(viol, 0.0), viol)
+    primal_res = jnp.linalg.norm(pr) / (1.0 + jnp.linalg.norm(q))
+    # dual: lambda = c + K'y is the reduced cost absorbed by bound
+    # multipliers; lambda > 0 needs a finite lb, lambda < 0 a finite ub.
+    lam = c + K.T @ y
+    lam_minus = jnp.minimum(lam, 0.0)
+    lam_plus = jnp.maximum(lam, 0.0)
+    du = jnp.where(jnp.isfinite(ub), 0.0, lam_minus) + jnp.where(
+        jnp.isfinite(lb), 0.0, lam_plus
+    )
+    dual_res = jnp.linalg.norm(du) / (1.0 + jnp.linalg.norm(c))
+    # gap: c'x vs dual objective -q'y + sum_j min_{x_j in [lb,ub]} lam_j x_j
+    contrib = jnp.where(
+        lam >= 0,
+        jnp.where(jnp.isfinite(lb), lam * lb, 0.0),
+        jnp.where(jnp.isfinite(ub), lam * ub, 0.0),
+    )
+    dual_obj = -q @ y + jnp.sum(contrib)
+    primal_obj = c @ x
+    gap = jnp.abs(primal_obj - dual_obj) / (
+        1.0 + jnp.abs(primal_obj) + jnp.abs(dual_obj)
+    )
+    return primal_res, dual_res, gap
+
+
+def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
+    """Build (init_state, run) for one problem instance (jit-friendly)."""
+    m, n = K.shape
+    is_ineq = (jnp.arange(m) >= n_eq)
+    norm_K = _estimate_norm(K, cfg.power_iters)
+    norm_K = jnp.maximum(norm_K, 1e-12)
+    tau = cfg.omega / norm_K
+    sigma = 1.0 / (cfg.omega * norm_K)
+
+    def project_x(x):
+        return jnp.clip(x, lb, ub)
+
+    def project_y(y):
+        return jnp.where(is_ineq, jnp.maximum(y, 0.0), y)
+
+    def step(state: PDHGState) -> PDHGState:
+        x, y = state.x, state.y
+        x_new = project_x(x - tau * (c + K.T @ y))
+        y_new = project_y(y + sigma * (K @ (2.0 * x_new - x) - q))
+        return state._replace(
+            x=x_new,
+            y=y_new,
+            x_sum=state.x_sum + x_new,
+            y_sum=state.y_sum + y_new,
+            inner_count=state.inner_count + 1,
+            iters=state.iters + 1,
+        )
+
+    def maybe_restart(state: PDHGState) -> PDHGState:
+        cnt = jnp.maximum(state.inner_count, 1)
+        do = state.inner_count >= cfg.restart_every
+        x_avg = state.x_sum / cnt
+        y_avg = state.y_sum / cnt
+        return state._replace(
+            x=jnp.where(do, x_avg, state.x),
+            y=jnp.where(do, y_avg, state.y),
+            x_sum=jnp.where(do, jnp.zeros_like(x_avg), state.x_sum),
+            y_sum=jnp.where(do, jnp.zeros_like(y_avg), state.y_sum),
+            inner_count=jnp.where(do, 0, state.inner_count),
+        )
+
+    def check(state: PDHGState) -> PDHGState:
+        pr, du, gap = _kkt_residuals(c, K, q, n_eq, lb, ub, state.x, state.y)
+        ok = (pr < cfg.eps_rel) & (du < cfg.eps_rel) & (gap < cfg.eps_rel)
+        status = jnp.where(
+            ok & (state.status == st.RUNNING), st.OPTIMAL, state.status
+        )
+        return state._replace(status=jnp.asarray(status, jnp.int32))
+
+    def init_state() -> PDHGState:
+        x0 = project_x(jnp.zeros(n, K.dtype))
+        return PDHGState(
+            x=x0,
+            y=jnp.zeros(m, K.dtype),
+            x_sum=jnp.zeros(n, K.dtype),
+            y_sum=jnp.zeros(m, K.dtype),
+            inner_count=jnp.zeros((), jnp.int32),
+            iters=jnp.zeros((), jnp.int32),
+            status=jnp.zeros((), jnp.int32),
+        )
+
+    def run(state: PDHGState, maxiters) -> PDHGState:
+        maxiters = jnp.asarray(maxiters, jnp.int32)
+
+        def cond(s):
+            return (s.status == st.RUNNING) & (s.iters < maxiters)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.check_every, lambda _, t: step(t), s)
+            s = maybe_restart(s)
+            return check(s)
+
+        return lax.while_loop(cond, body, state)
+
+    return init_state, run
+
+
+def _canonicalize(c, A, b, G, h, lb, ub, dtype):
+    c = np.asarray(c, dtype=dtype)
+    n = c.shape[0]
+    rows = []
+    rhs = []
+    n_eq = 0
+    if A is not None and b is not None:
+        A = np.atleast_2d(np.asarray(A, dtype=dtype))
+        rows.append(A)
+        rhs.append(np.asarray(b, dtype=dtype))
+        n_eq = A.shape[0]
+    if G is not None and h is not None:
+        G = np.atleast_2d(np.asarray(G, dtype=dtype))
+        rows.append(G)
+        rhs.append(np.asarray(h, dtype=dtype))
+    if not rows:
+        raise ValueError("need (A, b) and/or (G, h)")
+    K = np.concatenate(rows, axis=0)
+    q = np.concatenate(rhs)
+    lb = np.zeros(n, dtype=dtype) if lb is None else np.asarray(lb, dtype=dtype)
+    ub = (
+        np.full(n, np.inf, dtype=dtype)
+        if ub is None
+        else np.asarray(ub, dtype=dtype)
+    )
+    return c, K, q, n_eq, lb, ub
+
+
+@partial(jax.jit, static_argnames=("n_eq", "cfg"))
+def _solve_jit(c, K, q, n_eq, lb, ub, maxiters, cfg: PDHGConfig):
+    init_state, run = _pdhg_core(c, K, q, n_eq, lb, ub, cfg)
+    return run(init_state(), maxiters)
+
+
+class PDHGSolver:
+    """First-order LP solver with the general-form input surface.
+
+    ``min c'x  s.t.  Ax = b, Gx <= h, lb <= x <= ub`` -- same signature as
+    :class:`linprog_tpu.SimplexSolver`, different algorithmic regime:
+    moderate accuracy (``eps_rel``), excellent scaling (pure matvecs).
+    """
+
+    def __init__(self, c, A=None, b=None, G=None, h=None, lb=None, ub=None,
+                 config: Optional[PDHGConfig] = None):
+        self.config = config or DEFAULT_PDHG_CONFIG
+        dtype = np.dtype(self.config.dtype)
+        c, K, q, n_eq, lb_, ub_ = _canonicalize(c, A, b, G, h, lb, ub, dtype)
+        self.c = jnp.asarray(c)
+        self.K = jnp.asarray(K)
+        self.q = jnp.asarray(q)
+        self.n_eq = n_eq
+        self.lb = jnp.asarray(lb_)
+        self.ub = jnp.asarray(ub_)
+
+    def solve(self, maxiters: Optional[int] = None) -> LinProgResult:
+        maxiters = maxiters or self.config.maxiters
+        state = _solve_jit(
+            self.c, self.K, self.q, self.n_eq, self.lb, self.ub,
+            jnp.asarray(maxiters, jnp.int32), self.config,
+        )
+        x = np.asarray(state.x)
+        code = int(state.status)
+        return LinProgResult(
+            x=x,
+            basis=None,
+            cost=float(np.asarray(self.c) @ x),
+            iters=int(state.iters),
+            optimum=code == st.OPTIMAL,
+            status=code if code != st.RUNNING else st.ITER_LIMIT,
+        )
+
+    @property
+    def duals(self) -> np.ndarray:
+        raise AttributeError("solve first; duals are part of the result state")
+
+
+def pdhg_solve_batch(c, K, q, n_eq: int, lb, ub, maxiters: int = 100_000,
+                     cfg: PDHGConfig = DEFAULT_PDHG_CONFIG):
+    """Batched PDHG over same-shape instances: ``c[B,n], K[B,m,n], q[B,m]``.
+
+    Returns the final :class:`PDHGState` with a leading batch dim.
+    """
+
+    @partial(jax.jit, static_argnames=("n_eq", "cfg"))
+    def _batch(c, K, q, n_eq, lb, ub, maxiters, cfg):
+        def one(ci, Ki, qi, lbi, ubi):
+            init_state, run = _pdhg_core(ci, Ki, qi, n_eq, lbi, ubi, cfg)
+            return run(init_state(), maxiters)
+
+        return jax.vmap(one)(c, K, q, lb, ub)
+
+    return _batch(c, K, q, n_eq, lb, ub, jnp.asarray(maxiters, jnp.int32), cfg)

@@ -1,0 +1,77 @@
+"""PDHG first-order solver: correctness vs HiGHS, batched mode, diet LP."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu.pdhg import (
+    PDHGConfig,
+    PDHGSolver,
+    pdhg_solve_batch,
+)
+from linprog_tpu import status as st
+from linprog_tpu.generators import random_inequality_lps
+
+CFG = PDHGConfig(eps_rel=1e-5, maxiters=200_000, dtype="float64")
+
+
+def test_simple_inequality_lp():
+    # min -x1 - 2 x2  s.t. x1 + x2 <= 4, x2 <= 2 -> x = (2, 2), cost -6
+    res = PDHGSolver(
+        c=np.array([-1.0, -2.0]),
+        G=np.array([[1.0, 1.0], [0.0, 1.0]]),
+        h=np.array([4.0, 2.0]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(-6.0, abs=1e-3)
+    assert np.allclose(res.x, [2.0, 2.0], atol=1e-3)
+
+
+def test_equality_and_bounds():
+    # min -x1 s.t. x1 + x2 = 3, 0.5 <= x1 <= 2 -> x1 = 2
+    res = PDHGSolver(
+        c=np.array([-1.0, 0.0]),
+        A=np.array([[1.0, 1.0]]),
+        b=np.array([3.0]),
+        lb=np.array([0.5, 0.0]),
+        ub=np.array([2.0, np.inf]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(2.0, abs=1e-3)
+
+
+def test_matches_highs_on_random_lps():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    B, m, n = 4, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=21, dtype=np.float64)
+    for i in range(B):
+        res = PDHGSolver(c=c[i], G=G[i], h=h[i], config=CFG).solve()
+        ref = scipy_opt.linprog(
+            c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None), method="highs"
+        )
+        assert ref.status == 0
+        assert res.optimum
+        assert abs(res.cost - ref.fun) / max(1.0, abs(ref.fun)) < 1e-3
+
+
+def test_batched_pdhg():
+    B, m, n = 6, 8, 12
+    c, G, h = random_inequality_lps(B, m, n, seed=3, dtype=np.float64)
+    lb = np.zeros((B, n))
+    ub = np.full((B, n), np.inf)
+    states = pdhg_solve_batch(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), 0,
+        jnp.asarray(lb), jnp.asarray(ub), maxiters=100_000, cfg=CFG,
+    )
+    assert (np.asarray(states.status) == st.OPTIMAL).all()
+
+
+def test_diet_problem_first_order():
+    from tests.test_diet_example import REFERENCE_COST, diet_problem
+
+    c, G, h, lb, ub = diet_problem()
+    res = PDHGSolver(c=c, G=G, h=h, lb=lb, ub=ub, config=CFG).solve()
+    assert res.optimum
+    assert abs(res.cost - REFERENCE_COST) / REFERENCE_COST < 1e-3
