@@ -284,11 +284,23 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
     )
 
 
+def _mega_kernel_fits(m: int, n: int, itemsize: int = 4,
+                      vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """Does one lane's working set (A + A^T + inv_B^T + vectors), double
+    buffered by the grid pipeline, fit in VMEM?"""
+    per_lane = (2 * m * n + m * m + 8 * (m + n)) * itemsize
+    return 2 * per_lane + m * m * itemsize <= vmem_budget
+
+
 def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
                 cfg: SolverConfig = DEFAULT_CONFIG) -> SimplexState:
     """Drive the batched primal step to termination with periodic refactor."""
     if cfg.kernels == "pallas":
-        return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg)
+        _, m, n = A.shape
+        if _mega_kernel_fits(m, n):
+            return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg)
+        # working set exceeds VMEM: fall back to the streaming XLA path
+        cfg = cfg.replace(kernels="xla")
     maxiters = jnp.asarray(maxiters, jnp.int32)
 
     def any_running(ss):

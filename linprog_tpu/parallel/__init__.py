@@ -4,10 +4,13 @@ from .mesh import (
     shard_batch,
     sharded_two_phase_solve,
 )
+from .tp import make_model_mesh, tp_solve
 
 __all__ = [
     "make_batch_mesh",
     "batch_sharding",
     "shard_batch",
     "sharded_two_phase_solve",
+    "make_model_mesh",
+    "tp_solve",
 ]
