@@ -104,6 +104,7 @@ def solve_batch_two_phase(
     scale = jnp.maximum(1.0, jnp.max(jnp.abs(b), axis=1)) * m
     infeasible = (states.status == st.OPTIMAL) & (art_cost > cfg.feas_tol * scale)
     p1_stalled = states.status == st.RUNNING  # phase-I iteration cap
+    phase1_iters = states.iters
 
     # ---- Phase II: structural columns only; artificials stay masked ------
     new_status = jnp.where(
@@ -126,12 +127,12 @@ def solve_batch_two_phase(
     states = states._replace(bfs=bfs_exact)
 
     res = _to_result(c2, states, n + m)
-    # report x/cost in the structural space
+    # report x/cost in the structural space; iters = Phase I + Phase II
     return BatchResult(
         x=res.x[:, :n],
         basis=res.basis,
         cost=jnp.sum(c * res.x[:, :n], axis=1),
-        iters=res.iters,
+        iters=phase1_iters + res.iters,
         status=res.status,
     )
 
