@@ -151,6 +151,40 @@ def _to_result(c, states: engine.SimplexState, n: int) -> BatchResult:
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_batch_bounded(
+    c, A, b, lb, ub, basis, var_state, maxiters,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> BatchResult:
+    """Batched bounded-variable simplex: ``min c'x, Ax=b, lb<=x<=ub``.
+
+    ``c[B,n], A[B,m,n], b[B,m], lb[B,n], ub[B,n], basis[B,m],
+    var_state[B,n]`` (int8 in {AT_LB=0, AT_UB=1, BASIC=2}).  The batched
+    counterpart of :class:`BoundedVariablePrimalSimplexSolver`; bounds must
+    be finite (clamp with :func:`linprog_tpu.utils.get_bounds_on_bfs`).
+    """
+    from . import bounded as bnd
+
+    def one(ci, Ai, bi, lbi, ubi, basisi, vsi):
+        state = bnd.make_bounded_state(Ai, bi, lbi, ubi, basisi, vsi)
+        state = bnd.run_bounded(ci, Ai, bi, lbi, ubi, state, maxiters, cfg)
+        x = bnd.expand_bounded_bfs(state, lbi, ubi)
+        return x, state.basis, state.iters, state.status
+
+    x, basis_out, iters, status = jax.vmap(one)(
+        c, A, b, lb, ub, jnp.asarray(basis, jnp.int32),
+        jnp.asarray(var_state, jnp.int8),
+    )
+    status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)
+    return BatchResult(
+        x=x,
+        basis=basis_out,
+        cost=jnp.sum(c * x, axis=1),
+        iters=iters,
+        status=status.astype(jnp.int32),
+    )
+
+
 def solve_batch_general(
     problems,
     maxiters1: int = 1000,

@@ -4,6 +4,7 @@ from .mesh import (
     shard_batch,
     sharded_two_phase_solve,
 )
+from . import distributed
 from .tp import make_model_mesh, tp_solve
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "sharded_two_phase_solve",
     "make_model_mesh",
     "tp_solve",
+    "distributed",
 ]
