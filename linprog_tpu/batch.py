@@ -43,13 +43,9 @@ def _run_chunked(c, A, b, states, allowed, maxiters, cfg: SolverConfig, mode: st
     einsum or Pallas kernels per ``cfg.kernels``, periodic refactorization);
     the dual mode uses the vmapped per-lane engine.
     """
-    if mode == "primal":
-        from .engine_batched import run_batched
+    from .engine_batched import run_batched
 
-        return run_batched(c, A, b, states, allowed, maxiters, cfg)
-    return jax.vmap(
-        engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
-    )(c, A, b, states, allowed, maxiters, cfg, mode)
+    return run_batched(c, A, b, states, allowed, maxiters, cfg, mode)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mode"))
@@ -149,6 +145,36 @@ def _to_result(c, states: engine.SimplexState, n: int) -> BatchResult:
         iters=states.iters,
         status=status,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def reoptimize_batch_new_rhs(
+    c, A, b_new, basis, maxiters, cfg: SolverConfig = DEFAULT_CONFIG
+) -> BatchResult:
+    """Warm-started batched re-solve after the right-hand side changed.
+
+    The classic dual-simplex workflow the reference's dual solvers exist
+    for, batched: an optimal basis stays DUAL feasible when ``b`` changes,
+    so re-optimization from it needs only a handful of dual pivots instead
+    of a full two-phase solve.  ``c[B, n], A[B, m, n], b_new[B, m],
+    basis[B, m]`` -- ``basis`` typically comes from a prior
+    :func:`solve_batch_two_phase` on the same ``(c, A)`` (its entries must
+    index structural columns, i.e. ``< n``).
+
+    Lanes where the old basis is already primal feasible for ``b_new``
+    terminate in one iteration; ``DUAL_UNBOUNDED`` status means the
+    perturbed instance is primal infeasible.
+    """
+    n = c.shape[-1]
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b_new, basis)
+    allowed = jnp.ones((n,), jnp.bool_)
+    states = _run_chunked(c, A, b_new, states, allowed, maxiters, cfg, "dual")
+    # exact final solve at the terminal basis (same accuracy pass as the
+    # two-phase pipeline)
+    B_final = jnp.take_along_axis(A, states.basis[:, None, :], axis=2)
+    bfs_exact = jnp.linalg.solve(B_final, b_new[:, :, None])[:, :, 0]
+    states = states._replace(bfs=bfs_exact)
+    return _to_result(c, states, n)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

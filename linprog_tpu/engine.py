@@ -314,7 +314,10 @@ def dual_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Simpl
     n = c.shape[0]
     neg = state.bfs < -cfg.feas_tol
     any_neg = jnp.any(neg)
-    leave = jnp.argmax(neg)
+    if cfg.pricing == "dantzig":  # most-infeasible row (dual Dantzig)
+        leave = jnp.argmin(state.bfs)
+    else:  # bland: first infeasible row (reference rule)
+        leave = jnp.argmax(neg)
 
     u = state.inv_B[leave] @ A
     u = jnp.where(in_basis_mask(state.basis, n), jnp.zeros_like(u), u)

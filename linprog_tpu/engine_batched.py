@@ -168,7 +168,7 @@ def _pallas_pack(c, A, state: SimplexState, allowed):
 
 
 def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
-                       cfg: SolverConfig) -> SimplexState:
+                       cfg: SolverConfig, mode: str = "primal") -> SimplexState:
     """Segment-at-a-time driver for the whole-solve-in-VMEM mega-kernel.
 
     Each outer step runs up to ``cfg.refactor_every`` complete simplex
@@ -195,6 +195,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             iters, status,
             seg_len=seg_len, dantzig=(cfg.pricing == "dantzig"),
             opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
+            dual=(mode == "dual"), feas_tol=cfg.feas_tol,
         )
 
     carry = (invBT, bfs, cB, basis, pen, iters, status)
@@ -293,14 +294,26 @@ def _mega_kernel_fits(m: int, n: int, itemsize: int = 4,
 
 
 def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
-                cfg: SolverConfig = DEFAULT_CONFIG) -> SimplexState:
-    """Drive the batched primal step to termination with periodic refactor."""
+                cfg: SolverConfig = DEFAULT_CONFIG,
+                mode: str = "primal") -> SimplexState:
+    """Drive the batched step (primal or dual) to termination.
+
+    Pallas mega-kernel when it fits in VMEM; otherwise the explicitly
+    batched XLA path (primal) or the vmapped per-lane engine (dual).
+    """
     if cfg.kernels == "pallas":
         _, m, n = A.shape
         if _mega_kernel_fits(m, n):
-            return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg)
+            return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg,
+                                      mode)
         # working set exceeds VMEM: fall back to the streaming XLA path
         cfg = cfg.replace(kernels="xla")
+    if mode == "dual":
+        from . import engine
+
+        return jax.vmap(
+            engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
+        )(c, A, b, state, allowed, maxiters, cfg, "dual")
     maxiters = jnp.asarray(maxiters, jnp.int32)
 
     def any_running(ss):

@@ -63,7 +63,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 
 def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
-                          pivot_tol: float,
+                          pivot_tol: float, dual: bool, feas_tol: float,
                           # inputs
                           A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
                           iters_in_ref, status_in_ref,
@@ -100,31 +100,74 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
         basis = basis_ref[0]  # (1, m) i32
         pen = pen_ref[0]  # (1, n)
 
-        # ---- pricing: y = c_B inv_B; r = c - y A (+ mask penalty) --------
-        y = _dotg(cB, invBT, 1, 1)  # (1, m)
-        r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
+        if dual:
+            # ---- dual iteration: leaving row first, then entering column --
+            neg = bfs < -feas_tol  # (1, m) infeasible basics
+            viable = jnp.any(neg)
+            if dantzig:  # most-infeasible row (dual Dantzig)
+                worst = jnp.min(bfs)
+                leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
+            else:  # bland: first infeasible row (reference rule)
+                leave = jnp.min(jnp.where(neg, lane_m, m))
+            leave = jnp.where(viable, leave, 0)
+            onehot_l0 = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
+            w = _dotg(invBT, onehot_l0, 1, 0)  # (m,1) == inv_B[leave, :]^T
+            urow = _dotg(w, A, 0, 0)  # (1, n) dual direction row
+            y = _dotg(cB, invBT, 1, 1)
+            r = c_ref[0] - _dotg(y, A, 1, 0)  # raw reduced costs
+            cand = (urow < -pivot_tol) & (pen == 0.0)
+            any_cand = jnp.any(cand)
+            theta_d = jnp.where(
+                cand, -r / jnp.where(cand, urow, -jnp.ones_like(urow)), jnp.inf
+            )
+            best_d = jnp.min(theta_d)
+            enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
+            enter = jnp.where(any_cand, enter, 0)
 
-        if dantzig:
-            best = jnp.min(r)
-            enter = jnp.min(jnp.where(r == best, lane_n, n))
-            eligible = best < -opt_tol
+            do_pivot = viable & any_cand
+            stop_status = jnp.where(
+                jnp.logical_not(viable),
+                st.OPTIMAL,
+                jnp.where(viable & jnp.logical_not(any_cand),
+                          st.DUAL_UNBOUNDED, st.RUNNING),
+            )
+            a_row = AT_ref[0, pl.ds(enter, 1), :]
+            d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
         else:
-            neg = r < -opt_tol
-            enter = jnp.min(jnp.where(neg, lane_n, n))
-            eligible = jnp.any(neg)
-            enter = jnp.where(eligible, enter, 0)
+            # ---- pricing: y = c_B inv_B; r = c - y A (+ mask penalty) ----
+            y = _dotg(cB, invBT, 1, 1)  # (1, m)
+            r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
 
-        # ---- direction + ratio test --------------------------------------
-        a_row = AT_ref[0, pl.ds(enter, 1), :]  # (1, m) == A[:, enter]^T
-        d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
-        pos = d > pivot_tol
-        any_pos = jnp.any(pos)
-        theta = jnp.where(pos, bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf)
-        best_t = jnp.min(theta)
-        leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
-        leave = jnp.where(any_pos, leave, 0)
+            if dantzig:
+                best = jnp.min(r)
+                enter = jnp.min(jnp.where(r == best, lane_n, n))
+                eligible = best < -opt_tol
+            else:
+                neg = r < -opt_tol
+                enter = jnp.min(jnp.where(neg, lane_n, n))
+                eligible = jnp.any(neg)
+                enter = jnp.where(eligible, enter, 0)
 
-        do_pivot = eligible & any_pos
+            # ---- direction + primal ratio test ---------------------------
+            a_row = AT_ref[0, pl.ds(enter, 1), :]  # (1, m) == A[:, enter]^T
+            d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
+            pos = d > pivot_tol
+            any_pos = jnp.any(pos)
+            theta = jnp.where(
+                pos, bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
+            )
+            best_t = jnp.min(theta)
+            leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
+            leave = jnp.where(any_pos, leave, 0)
+
+            do_pivot = eligible & any_pos
+            stop_status = jnp.where(
+                jnp.logical_not(eligible),
+                st.OPTIMAL,
+                jnp.where(eligible & jnp.logical_not(any_pos),
+                          st.PRIMAL_UNBOUNDED, st.RUNNING),
+            )
+
         at_leave = lane_m == leave  # (1, m)
         d_l = jnp.sum(jnp.where(at_leave, d, 0.0))
         safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
@@ -154,13 +197,7 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
         )
         pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
 
-        status = jnp.where(
-            jnp.logical_not(eligible),
-            st.OPTIMAL,
-            jnp.where(eligible & jnp.logical_not(any_pos),
-                      st.PRIMAL_UNBOUNDED, st.RUNNING),
-        ).astype(jnp.int32)
-        return seg + 1, iters + 1, status
+        return seg + 1, iters + 1, stop_status.astype(jnp.int32)
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
@@ -172,12 +209,14 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_len", "dantzig", "opt_tol", "pivot_tol", "interpret"),
+    static_argnames=("seg_len", "dantzig", "opt_tol", "pivot_tol", "dual",
+                     "feas_tol", "interpret"),
     donate_argnums=(5, 6, 7, 8, 9),
 )
 def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
                   iters, status, *, seg_len: int, dantzig: bool,
-                  opt_tol: float, pivot_tol: float,
+                  opt_tol: float, pivot_tol: float, dual: bool = False,
+                  feas_tol: float = 1e-6,
                   interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
@@ -195,7 +234,8 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         interpret = _interpret_default()
     B, m, n = A.shape
     kernel = functools.partial(
-        _solve_segment_kernel, seg_len, dantzig, opt_tol, pivot_tol
+        _solve_segment_kernel, seg_len, dantzig, opt_tol, pivot_tol,
+        dual, feas_tol,
     )
 
     def lane(i):
