@@ -53,6 +53,10 @@ class _SimplexSolverBase:
         self.m, self.n = A.shape
         self._allowed = jnp.ones((self.n,), jnp.bool_)
         self._state = engine.make_state(self.A, self.b, np.asarray(basis, np.int32))
+        if int(self._state.status) == st.NUMERICAL_ERROR:
+            raise ValueError(
+                "starting basis matrix A[:, basis] is singular"
+            )
         self.counter: Optional[int] = None
         self.optimum: Optional[bool] = None
         self._check_basis_feasibility()
@@ -129,6 +133,7 @@ class _SimplexSolverBase:
             iters=int(state.iters),
             optimum=bool(state.status == st.OPTIMAL),
             status=int(state.status),
+            y=np.asarray(engine.duals(self.c, state)),
         )
 
 

@@ -130,6 +130,7 @@ def solve_batch_two_phase(
         cost=jnp.sum(c * res.x[:, :n], axis=1),
         iters=phase1_iters + res.iters,
         status=res.status,
+        y=res.y,
     )
 
 
@@ -138,12 +139,14 @@ def _to_result(c, states: engine.SimplexState, n: int) -> BatchResult:
     status = jnp.where(
         states.status == st.RUNNING, st.ITER_LIMIT, states.status
     ).astype(jnp.int32)
+    y = jax.vmap(engine.duals)(c, states)
     return BatchResult(
         x=x,
         basis=states.basis,
         cost=jnp.sum(c * x, axis=1),
         iters=states.iters,
         status=status,
+        y=y,
     )
 
 

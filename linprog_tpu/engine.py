@@ -82,12 +82,15 @@ def make_state(A, b, basis, status: int = st.RUNNING) -> SimplexState:
     basis = jnp.asarray(basis, jnp.int32)
     inv_B = jnp.linalg.inv(jnp.take(A, basis, axis=1))
     bfs = inv_B @ b
+    # a singular basis matrix yields inf/nan factors (jnp.linalg.inv does
+    # not raise); mark the lane NUMERICAL_ERROR so it freezes immediately
+    ok = jnp.all(jnp.isfinite(inv_B))
     return SimplexState(
         basis=basis,
         inv_B=inv_B,
         bfs=bfs,
         iters=jnp.zeros((), jnp.int32),
-        status=jnp.asarray(status, jnp.int32),
+        status=jnp.where(ok, status, st.NUMERICAL_ERROR).astype(jnp.int32),
     )
 
 

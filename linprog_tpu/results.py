@@ -32,6 +32,7 @@ class LinProgResult:
     iters: int
     optimum: bool
     status: int = st.OPTIMAL
+    y: Optional[np.ndarray] = None  # dual variables (simplex multipliers)
 
     @property
     def status_name(self) -> str:
@@ -41,8 +42,10 @@ class LinProgResult:
 class BatchResult(NamedTuple):
     """Batched device-side solve result.
 
-    ``x[B, n]``, ``basis[B, m]``, ``cost[B]``, ``iters[B]``, ``status[B]``.
-    ``status`` uses the codes in :mod:`linprog_tpu.status`.
+    ``x[B, n]``, ``basis[B, m]``, ``cost[B]``, ``iters[B]``, ``status[B]``,
+    ``y[B, m]`` (dual variables / simplex multipliers at the terminal basis,
+    None where not computed).  ``status`` uses the codes in
+    :mod:`linprog_tpu.status`.
     """
 
     x: jax.Array
@@ -50,6 +53,7 @@ class BatchResult(NamedTuple):
     cost: jax.Array
     iters: jax.Array
     status: jax.Array
+    y: Optional[jax.Array] = None
 
     @property
     def optimum(self):
