@@ -82,6 +82,12 @@ def solve_batch_two_phase(
     B, m, n = A.shape
     dt = A.dtype
 
+    c_orig = c
+    if cfg.scaling:
+        from .presolve import ruiz_equilibrate
+
+        c, A, b, scaling = ruiz_equilibrate(c, A, b)
+
     eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
     A1 = jnp.concatenate([A, eye], axis=2)  # [B, m, n+m]
     c1 = jnp.broadcast_to(
@@ -123,14 +129,22 @@ def solve_batch_two_phase(
     states = states._replace(bfs=bfs_exact)
 
     res = _to_result(c2, states, n + m)
-    # report x/cost in the structural space; iters = Phase I + Phase II
+    # report x/cost in the structural space and the ORIGINAL scaling;
+    # iters = Phase I + Phase II
+    x = res.x[:, :n]
+    y = res.y
+    if cfg.scaling:
+        from .presolve import unscale_duals, unscale_solution
+
+        x = unscale_solution(x, scaling)
+        y = unscale_duals(y, scaling)
     return BatchResult(
-        x=res.x[:, :n],
+        x=x,
         basis=res.basis,
-        cost=jnp.sum(c * res.x[:, :n], axis=1),
+        cost=jnp.sum(c_orig * x, axis=1),
         iters=phase1_iters + res.iters,
         status=res.status,
-        y=res.y,
+        y=y,
     )
 
 

@@ -72,6 +72,9 @@ class SolverConfig:
     #          quadratic residual reduction, ~100x faster, needs the eta
     #          factors to still be a reasonable approximation)
     refactor_method: str = "inv"
+    # Ruiz equilibration of (c, A, b) before solving (batched pipelines);
+    # results are reported in the original scaling.
+    scaling: bool = False
 
     def __post_init__(self):
         if self.update not in ("eta", "naive"):

@@ -111,17 +111,26 @@ def slack_crash_state(A, b, n: int) -> SimplexState:
     m = b.shape[0]
     struct = A[:, :n]
     col_abs_sum = jnp.sum(jnp.abs(struct), axis=0)  # [n]
-    # unit[i, j] = True iff structural column j == +e_i
-    unit = (struct == 1.0) & (col_abs_sum == 1.0)[None, :]
+    # unit-like[i, j]: column j's only (significant) entry is A[i, j] > 0.
+    # Accepts POSITIVELY SCALED unit columns too (equilibration rescales
+    # slack columns away from exactly 1).
+    entry = struct  # [m, n]
+    other_mass = col_abs_sum[None, :] - jnp.abs(entry)
+    unit = (entry > 0) & (other_mass <= 1e-6 * col_abs_sum[None, :])
     has_unit = jnp.any(unit, axis=1)  # [m]
-    unit_col = jnp.argmax(unit, axis=1).astype(jnp.int32)  # first unit col per row
+    unit_col = jnp.argmax(unit, axis=1).astype(jnp.int32)  # first per row
     basis = jnp.where(
         has_unit, unit_col, jnp.arange(n, n + m, dtype=jnp.int32)
     )
+    # basis matrix is diagonal: pivot value per row (1 for artificials)
+    pivot_vals = jnp.where(
+        has_unit, struct[jnp.arange(m), unit_col], jnp.ones_like(b)
+    )
+    inv_diag = 1.0 / pivot_vals
     return SimplexState(
         basis=basis,
-        inv_B=jnp.eye(m, dtype=b.dtype),
-        bfs=jnp.asarray(b),
+        inv_B=jnp.diag(inv_diag).astype(b.dtype),
+        bfs=jnp.asarray(b) * inv_diag,
         iters=jnp.zeros((), jnp.int32),
         status=jnp.zeros((), jnp.int32),
     )
