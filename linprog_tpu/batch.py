@@ -24,11 +24,9 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from . import engine
 from . import status as st

@@ -34,7 +34,7 @@ from jax import lax
 
 from . import engine
 from . import status as st
-from .config import DEFAULT_CONFIG, SolverConfig
+from .config import SolverConfig
 from .utils import primal_simplex_div
 
 AT_LB = jnp.int8(0)

@@ -15,7 +15,6 @@ every lane is terminal or at ``maxiters``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

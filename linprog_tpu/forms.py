@@ -20,7 +20,7 @@ by the batched path so a heterogeneous set of LPs shares one static shape.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

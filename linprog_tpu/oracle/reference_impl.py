@@ -9,7 +9,7 @@ instances is strong evidence both are right.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

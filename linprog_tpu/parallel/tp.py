@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import status as st
 from ..config import DEFAULT_CONFIG, SolverConfig
-from ..engine import SimplexState, eta_update
+from ..engine import SimplexState
 
 
 def make_model_mesh(n_devices=None, devices=None) -> Mesh:
