@@ -1,0 +1,105 @@
+"""Property-based fuzzing against the HiGHS oracle.
+
+Three instance families with known ground truth:
+* feasible-bounded by construction -> objective must match HiGHS;
+* infeasible by construction (a row with nonpositive coefficients and a
+  positive rhs) -> PRIMAL_INFEASIBLE, and HiGHS agrees (status 2);
+* unbounded by construction (a nonnegative recession direction with
+  negative cost) -> PRIMAL_UNBOUNDED, and HiGHS agrees (status 3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu import SolverConfig
+from linprog_tpu import status as st
+from linprog_tpu.batch import solve_batch_two_phase
+from linprog_tpu.generators import random_inequality_lps, to_standard_form_batch
+
+scipy_opt = pytest.importorskip("scipy.optimize")
+
+CFG = SolverConfig(pricing="dantzig", refactor_every=40)
+
+
+@pytest.mark.parametrize("m,n,seed", [(6, 9, 0), (12, 18, 1), (20, 30, 2),
+                                      (9, 40, 3), (30, 35, 4)])
+def test_feasible_bounded_matches_highs(m, n, seed):
+    B = 8
+    c, G, h = random_inequality_lps(B, m, n, seed=seed)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 800, 800, CFG
+    )
+    assert (np.asarray(res.status) == st.OPTIMAL).all()
+    for i in range(B):
+        ref = scipy_opt.linprog(
+            c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None), method="highs"
+        )
+        assert ref.status == 0
+        assert abs(float(res.cost[i]) - ref.fun) / max(1, abs(ref.fun)) < 2e-4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_constructed_infeasible_detected(seed):
+    rng = np.random.default_rng(seed)
+    m, n = 8, 12
+    G = rng.normal(size=(m, n)).astype(np.float32)
+    h = (G @ rng.uniform(0, 1, n) + rng.uniform(0.1, 1, m)).astype(np.float32)
+    # poison row: |g|'x <= -1 is impossible for x >= 0 (lhs nonnegative)
+    G[0] = np.abs(G[0])
+    h[0] = -1.0
+    c = rng.normal(size=(1, n)).astype(np.float32)
+    cs, As, bs = to_standard_form_batch(c, G[None], h[None])
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 400, 400, CFG
+    )
+    assert int(np.asarray(res.status)[0]) == st.PRIMAL_INFEASIBLE
+    ref = scipy_opt.linprog(
+        np.zeros(n), A_ub=G, b_ub=h, bounds=(0, None), method="highs"
+    )
+    assert ref.status == 2  # HiGHS agrees: infeasible
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_constructed_unbounded_detected(seed):
+    rng = np.random.default_rng(seed)
+    m, n = 8, 12
+    G = rng.normal(size=(m, n)).astype(np.float32)
+    h = (np.abs(G @ rng.uniform(0, 1, n)) + 1.0).astype(np.float32)  # feasible at 0
+    c = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    # recession direction e_0: make column 0 nonpositive in G and c_0 < 0
+    G[:, 0] = -np.abs(G[:, 0])
+    c[0] = -1.0
+    cs, As, bs = to_standard_form_batch(c[None], G[None], h[None])
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 400, 400, CFG
+    )
+    assert int(np.asarray(res.status)[0]) == st.PRIMAL_UNBOUNDED
+    ref = scipy_opt.linprog(c, A_ub=G, b_ub=h, bounds=(0, None), method="highs")
+    assert ref.status == 3  # HiGHS agrees: unbounded
+
+
+def test_mixed_status_batch():
+    """One batch containing optimal, infeasible, and unbounded lanes."""
+    rng = np.random.default_rng(9)
+    m, n = 6, 8
+    c, G, h = random_inequality_lps(3, m, n, seed=9)
+    G = G.copy()
+    h = h.copy()
+    c = c.copy()
+    # lane 1 -> infeasible: |g|'x <= -1
+    G[1, 0] = np.abs(G[1, 0])
+    h[1, 0] = -1.0
+    # lane 2 -> unbounded via recession direction e_0
+    G[2, :, 0] = -np.abs(G[2, :, 0])
+    h[2] = np.abs(h[2]) + 1.0
+    c[2, 0] = -1.0
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 300, 300, CFG
+    )
+    status = np.asarray(res.status)
+    assert status[0] == st.OPTIMAL
+    assert status[1] == st.PRIMAL_INFEASIBLE
+    assert status[2] == st.PRIMAL_UNBOUNDED
