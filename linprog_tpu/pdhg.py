@@ -39,6 +39,15 @@ from jax import lax
 from . import status as st
 from .results import LinProgResult
 
+# TPU MXU defaults to bf16 passes for f32 matmuls; PDHG's KKT residuals then
+# plateau above eps_rel and the iteration never terminates (observed on
+# v5e).  All matvecs force full f32 precision.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mv(M, v):
+    return jnp.matmul(M, v, precision=_HIGHEST)
+
 
 @dataclasses.dataclass(frozen=True)
 class PDHGConfig:
@@ -73,17 +82,17 @@ def _estimate_norm(K, iters: int, seed: int = 0):
     v = jax.random.normal(jax.random.PRNGKey(seed), (K.shape[1],), K.dtype)
 
     def body(_, v):
-        w = K @ v
-        u = K.T @ w
+        w = _mv(K, v)
+        u = _mv(K.T, w)
         return u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
 
     v = lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
-    return jnp.linalg.norm(K @ v) / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return jnp.linalg.norm(_mv(K, v)) / jnp.maximum(jnp.linalg.norm(v), 1e-30)
 
 
 def _kkt_residuals(c, K, q, n_eq, lb, ub, x, y):
     """Relative KKT residuals (primal, dual, gap)."""
-    Kx = K @ x
+    Kx = _mv(K, x)
     # primal: equality rows exact, inequality rows one-sided (Kx <= q)
     viol = Kx - q
     m = q.shape[0]
@@ -92,7 +101,7 @@ def _kkt_residuals(c, K, q, n_eq, lb, ub, x, y):
     primal_res = jnp.linalg.norm(pr) / (1.0 + jnp.linalg.norm(q))
     # dual: lambda = c + K'y is the reduced cost absorbed by bound
     # multipliers; lambda > 0 needs a finite lb, lambda < 0 a finite ub.
-    lam = c + K.T @ y
+    lam = c + _mv(K.T, y)
     lam_minus = jnp.minimum(lam, 0.0)
     lam_plus = jnp.maximum(lam, 0.0)
     du = jnp.where(jnp.isfinite(ub), 0.0, lam_minus) + jnp.where(
@@ -130,8 +139,8 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
 
     def step(state: PDHGState) -> PDHGState:
         x, y = state.x, state.y
-        x_new = project_x(x - tau * (c + K.T @ y))
-        y_new = project_y(y + sigma * (K @ (2.0 * x_new - x) - q))
+        x_new = project_x(x - tau * (c + _mv(K.T, y)))
+        y_new = project_y(y + sigma * (_mv(K, 2.0 * x_new - x) - q))
         return state._replace(
             x=x_new,
             y=y_new,
