@@ -328,28 +328,75 @@ class SimplexSolver:
     ):
         self.config = config or DEFAULT_CONFIG
         dtype = np.dtype(self.config.dtype)
-        c = np.asarray(c, dtype=dtype)
+        c = np.asarray(c, dtype=dtype).copy()
         n_orig = c.shape[0]
+        self.n_orig = n_orig
+        self._c_orig = c.copy()
+
+        if lb is None:
+            lb = np.zeros(n_orig, dtype=dtype)
+        lb = np.asarray(lb, dtype=dtype).copy()
+        if ub is None:
+            ub = np.full(n_orig, np.inf, dtype=dtype)
+        ub = np.asarray(ub, dtype=dtype).copy()
+
+        A = None if A is None else np.atleast_2d(np.asarray(A, dtype=dtype)).copy()
+        b = None if b is None else np.asarray(b, dtype=dtype).copy()
+        G = None if G is None else np.atleast_2d(np.asarray(G, dtype=dtype)).copy()
+        h = None if h is None else np.asarray(h, dtype=dtype).copy()
+
+        # ---- free variables (lb = -inf) ----------------------------------
+        # The reference emits a broken inf-rhs row for these
+        # (preprocessing.py:49-64).  Here:
+        #  * lb=-inf, ub finite: substitute x_j = ub_j - w_j (column negated,
+        #    rhs shifted), w_j >= 0;
+        #  * lb=-inf, ub=+inf:   split x_j = u_j - v_j with a mirrored
+        #    negative column appended for v_j.
+        free = np.isneginf(lb)
+        self._sub_idx = np.flatnonzero(free & np.isfinite(ub))
+        self._split_idx = np.flatnonzero(free & ~np.isfinite(ub))
+        self._sub_ub = ub[self._sub_idx].copy()
+        for j in self._sub_idx:
+            u_j = ub[j]
+            if b is not None:
+                b -= A[:, j] * u_j
+            if h is not None:
+                h -= G[:, j] * u_j
+            if A is not None:
+                A[:, j] *= -1
+            if G is not None:
+                G[:, j] *= -1
+            c[j] *= -1
+            lb[j], ub[j] = 0.0, np.inf
+        k = self._split_idx.size
+        if k:
+            if A is not None:
+                A = np.concatenate([A, -A[:, self._split_idx]], axis=1)
+            if G is not None:
+                G = np.concatenate([G, -G[:, self._split_idx]], axis=1)
+            c = np.concatenate([c, -c[self._split_idx]])
+            lb = np.concatenate([lb, np.zeros(k, dtype=dtype)])
+            lb[self._split_idx] = 0.0
+            ub = np.concatenate([ub, np.full(k, np.inf, dtype=dtype)])
+        self.n_aug = n_orig + k
 
         c_std, A_std, b_std, num_slack = forms.general_to_standard(
             c, A=A, b=b, G=G, h=h, dtype=dtype
         )
         self.num_slack_vars = num_slack
-        self.n_orig = n_orig
-
-        if lb is None:
-            lb = np.zeros(n_orig, dtype=dtype)
-        self.lb = np.concatenate(
-            [np.asarray(lb, dtype=dtype), np.zeros(num_slack, dtype=dtype)]
-        )
-        if ub is None:
-            ub = np.full(n_orig, np.inf, dtype=dtype)
-        self.ub = np.concatenate(
-            [np.asarray(ub, dtype=dtype), np.full(num_slack, np.inf, dtype=dtype)]
-        )
-
+        self.lb = np.concatenate([lb, np.zeros(num_slack, dtype=dtype)])
+        self.ub = np.concatenate([ub, np.full(num_slack, np.inf, dtype=dtype)])
         self.c, self.A, self.b = c_std, A_std, b_std
         self.num_vars = self.A.shape[1]
+
+    def _reconstruct_x(self, x_aug: np.ndarray) -> np.ndarray:
+        """Map the augmented solution back to the original variable space."""
+        x = x_aug[: self.n_orig].copy()
+        if self._split_idx.size:
+            x[self._split_idx] -= x_aug[self.n_orig : self.n_aug]
+        if self._sub_idx.size:
+            x[self._sub_idx] = self._sub_ub - x[self._sub_idx]
+        return x
 
     def solve(self, maxiters1: int = 100, maxiters2: int = 100) -> LinProgResult:
         """Two-phase solve (reference ``simplex.py:79-102``)."""
@@ -362,6 +409,7 @@ class SimplexSolver:
             c1, p1.A, p1.b, p1.basis, config=self.config
         )
         res = solver.solve(maxiters=maxiters2)
-        res.x = res.x[: self.n_orig]  # strip G-slacks and bound-slack vars
+        res.x = self._reconstruct_x(res.x[: self.n_aug])
+        res.cost = float(self._c_orig @ res.x)
         res.basis = None  # uninterpretable in the original variable space
         return res
