@@ -291,3 +291,34 @@ def pdhg_solve_batch(c, K, q, n_eq: int, lb, ub, maxiters: int = 100_000,
         return jax.vmap(one)(c, K, q, lb, ub)
 
     return _batch(c, K, q, n_eq, lb, ub, jnp.asarray(maxiters, jnp.int32), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pdhg_solve_batch_canonical(c, G, h, maxiters: int = 100_000,
+                               cfg: PDHGConfig = DEFAULT_PDHG_CONFIG):
+    """Batched PDHG for canonical ``min c'x, Gx <= h, x >= 0`` with
+    automatic Ruiz equilibration (PDHG convergence is scaling-sensitive;
+    PDLP always equilibrates).
+
+    ``c[B, n], G[B, m, n], h[B, m]``.  Returns ``(x[B, n], cost[B],
+    status[B], iters[B])`` in the ORIGINAL scaling.
+    """
+    from .presolve import ruiz_equilibrate, unscale_solution
+
+    B, m, n = G.shape
+    cs, Gs, hs, sc = ruiz_equilibrate(c, G, h)
+    # x >= 0 maps to z >= 0 under positive column scales
+    lb = jnp.zeros((B, n), G.dtype)
+    ub = jnp.full((B, n), jnp.inf, G.dtype)
+
+    def one(ci, Ki, qi, lbi, ubi):
+        init_state, run = _pdhg_core(ci, Ki, qi, 0, lbi, ubi, cfg)
+        return run(init_state(), jnp.asarray(maxiters, jnp.int32))
+
+    states = jax.vmap(one)(cs, Gs, hs, lb, ub)
+    x = unscale_solution(states.x, sc)
+    cost = jnp.sum(c * x, axis=1)
+    status = jnp.where(
+        states.status == st.RUNNING, st.ITER_LIMIT, states.status
+    ).astype(jnp.int32)
+    return x, cost, status, states.iters

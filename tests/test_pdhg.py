@@ -75,3 +75,21 @@ def test_diet_problem_first_order():
     res = PDHGSolver(c=c, G=G, h=h, lb=lb, ub=ub, config=CFG).solve()
     assert res.optimum
     assert abs(res.cost - REFERENCE_COST) / REFERENCE_COST < 1e-3
+
+
+def test_batched_canonical_with_autoscaling():
+    scipy_ref = pytest.importorskip("scipy.optimize").linprog
+    from linprog_tpu.pdhg import pdhg_solve_batch_canonical
+
+    B, m, n = 4, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=17, dtype=np.float64)
+    cfg = PDHGConfig(eps_rel=1e-5, maxiters=200_000, dtype="float64")
+    x, cost, status, iters = pdhg_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), 200_000, cfg
+    )
+    assert (np.asarray(status) == st.OPTIMAL).all()
+    for i in range(B):
+        ref = scipy_ref(c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None),
+                        method="highs")
+        assert ref.status == 0
+        assert abs(float(cost[i]) - ref.fun) / max(1, abs(ref.fun)) < 1e-3
