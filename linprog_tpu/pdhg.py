@@ -46,6 +46,15 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _mv(M, v):
+    try:
+        from jax.experimental import sparse as jsparse
+
+        if isinstance(M, jsparse.BCOO):
+            # sparse matvec lowers to gather + segment-sum: exact f32
+            # accumulation, no MXU precision caveat
+            return M @ v
+    except ImportError:  # pragma: no cover
+        pass
     return jnp.matmul(M, v, precision=_HIGHEST)
 
 
@@ -291,6 +300,40 @@ def pdhg_solve_batch(c, K, q, n_eq: int, lb, ub, maxiters: int = 100_000,
         return jax.vmap(one)(c, K, q, lb, ub)
 
     return _batch(c, K, q, n_eq, lb, ub, jnp.asarray(maxiters, jnp.int32), cfg)
+
+
+def pdhg_solve_sparse(c, K, q, n_eq: int = 0, lb=None, ub=None,
+                      maxiters: int = 100_000,
+                      cfg: PDHGConfig = DEFAULT_PDHG_CONFIG) -> LinProgResult:
+    """First-order solve with a SPARSE constraint matrix.
+
+    ``K`` is a ``jax.experimental.sparse.BCOO`` [m, n] stacking equality
+    rows (first ``n_eq``) then ``<=`` rows; ``q`` the matching rhs.  The
+    iteration is matrix-free (only ``K @ v`` / ``K.T @ v``), so memory and
+    FLOPs scale with nnz -- the regime where dense simplex cannot even store
+    ``A``.  Sparse matvecs accumulate exactly in f32 (gather + segment-sum),
+    so no MXU precision caveat applies.
+    """
+    m, n = K.shape
+    dtype = cfg.jnp_dtype
+    c = jnp.asarray(c, dtype)
+    q = jnp.asarray(q, dtype)
+    lb = jnp.zeros(n, dtype) if lb is None else jnp.asarray(lb, dtype)
+    ub = jnp.full(n, jnp.inf, dtype) if ub is None else jnp.asarray(ub, dtype)
+    state = _solve_jit(
+        c, K, q, n_eq, lb, ub, jnp.asarray(maxiters, jnp.int32), cfg
+    )
+    x = np.asarray(state.x)
+    code = int(state.status)
+    return LinProgResult(
+        x=x,
+        basis=None,
+        cost=float(np.asarray(c) @ x),
+        iters=int(state.iters),
+        optimum=code == st.OPTIMAL,
+        status=code if code != st.RUNNING else st.ITER_LIMIT,
+        y=np.asarray(state.y),
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -93,3 +93,33 @@ def test_batched_canonical_with_autoscaling():
                         method="highs")
         assert ref.status == 0
         assert abs(float(cost[i]) - ref.fun) / max(1, abs(ref.fun)) < 1e-3
+
+
+def test_sparse_pdhg_matches_dense():
+    from jax.experimental import sparse as jsparse
+
+    from linprog_tpu.pdhg import pdhg_solve_sparse
+
+    rng = np.random.default_rng(3)
+    m, n = 40, 60
+    # sparse random LP: ~10% density plus a dense-ish diagonal for feasibility
+    G = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.1)
+    G[np.arange(m), np.arange(m)] += 1.0
+    h = G @ rng.uniform(0, 1, n) + rng.uniform(0.5, 1.5, m)
+    y0 = rng.uniform(0, 1, m)
+    c = 0.1 + rng.random(n) - G.T @ y0
+
+    cfg = PDHGConfig(eps_rel=1e-6, maxiters=300_000, dtype="float64")
+    K = jsparse.BCOO.fromdense(np.asarray(G, dtype=np.float64))
+    res = pdhg_solve_sparse(c, K, h, n_eq=0, cfg=cfg)
+    assert res.optimum
+
+    dense = PDHGSolver(c=c, G=G, h=h, config=cfg).solve()
+    assert dense.optimum
+    assert res.cost == pytest.approx(dense.cost, abs=1e-4)
+
+    ref = pytest.importorskip("scipy.optimize").linprog(
+        c, A_ub=G, b_ub=h, bounds=(0, None), method="highs"
+    )
+    assert ref.status == 0
+    assert res.cost == pytest.approx(ref.fun, abs=1e-3)
