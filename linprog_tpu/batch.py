@@ -184,6 +184,24 @@ def reoptimize_batch_new_rhs(
     states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b_new, basis)
     allowed = jnp.ones((n,), jnp.bool_)
     states = _run_chunked(c, A, b_new, states, allowed, maxiters, cfg, "dual")
+
+    # primal cleanup pass (standard dual-then-primal re-optimization): the
+    # dual phase restores feasibility but its float32 pricing can stop one
+    # or two pivots shy of optimal.  Refactor exactly, re-open OPTIMAL
+    # lanes, and let the primal engine re-verify/finish -- a truly optimal
+    # lane terminates in one in-kernel iteration.
+    inv = jnp.linalg.inv(
+        jnp.take_along_axis(A, states.basis[:, None, :], axis=2)
+    )
+    bfs = jnp.einsum("bmk,bk->bm", inv, b_new)
+    reopen = states.status == st.OPTIMAL
+    states = states._replace(
+        inv_B=jnp.where(reopen[:, None, None], inv, states.inv_B),
+        bfs=jnp.where(reopen[:, None], bfs, states.bfs),
+        status=jnp.where(reopen, st.RUNNING, states.status).astype(jnp.int32),
+    )
+    states = _run_chunked(c, A, b_new, states, allowed, maxiters, cfg, "primal")
+
     # exact final solve at the terminal basis (same accuracy pass as the
     # two-phase pipeline)
     B_final = jnp.take_along_axis(A, states.basis[:, None, :], axis=2)
