@@ -26,11 +26,129 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
+import jax
+
 from . import engine, forms
 from . import status as st
 from .config import DEFAULT_CONFIG, SolverConfig
 from .results import LinProgResult
 from .utils import get_bounds_on_bfs
+
+
+def _device_primal_dual(c, A, b, M, maxiters1, maxiters2, cfg: SolverConfig):
+    """Fully on-device primal-dual loop for ONE standard-form instance.
+
+    Shape-static version of the restricted-primal iteration: the bounding
+    row ``sum(x) <= n*M`` is ALWAYS added (harmless when ``min(c) >= 0``
+    because Lemma 2.1 bounds every BFS coordinate below ``M``), so the
+    computation jits once and vmaps over batches.  The inner simplex is the
+    engine's while_loop nested inside the outer ``lax.while_loop``.
+    """
+    import jax
+    from jax import lax
+
+    m0, n0 = A.shape
+    dt = A.dtype
+    # unconditional expansion: one bounding row + one slack-ish variable
+    A_x = jnp.concatenate([A, jnp.zeros((m0, 1), dt)], axis=1)
+    A_x = jnp.concatenate([A_x, jnp.ones((1, n0 + 1), dt)], axis=0)
+    b_x = jnp.concatenate([b, jnp.reshape(n0 * M, (1,))])
+    c_x = jnp.concatenate([c, jnp.zeros((1,), dt)])
+    m, n = m0 + 1, n0 + 1
+
+    y0 = jnp.concatenate(
+        [jnp.zeros((m0,), dt), jnp.reshape(jnp.minimum(jnp.min(c), 0.0), (1,))]
+    )
+    A_rp = jnp.concatenate([A_x, jnp.eye(m, dtype=dt)], axis=1)
+    c_rp = jnp.concatenate([jnp.zeros((n,), dt), jnp.ones((m,), dt)])
+    art_allowed = jnp.ones((m,), bool)
+    cost_tol = cfg.feas_tol * jnp.maximum(1.0, jnp.max(jnp.abs(b_x))) * m
+
+    def inner(y):
+        admissible = (
+            jnp.abs(y @ A_x - c_x) <= 1e-7 + 1e-5 * jnp.abs(c_x)
+        )
+        allowed = jnp.concatenate([admissible, art_allowed])
+        state = engine.artificial_state(b_x, n)
+        state = engine.run(
+            c_rp, A_rp, b_x, state, allowed, maxiters2, cfg, "primal"
+        )
+        return state, admissible
+
+    def cond(carry):
+        y, counter, status, _, _ = carry
+        return (status == st.RUNNING) & (counter < maxiters1)
+
+    def body(carry):
+        y, counter, status, _, _ = carry
+        state, admissible = inner(y)
+        rp_cost = engine.current_cost(c_rp, state)
+        y_r = engine.duals(c_rp, state)
+        feasible = rp_cost <= cost_tol
+        dual_unb = jnp.all(y_r @ A_rp <= cfg.feas_tol)
+        num = c_x - y @ A_x
+        den = y_r @ A_x
+        ratios = jnp.where(
+            (den > cfg.pivot_tol) & jnp.logical_not(admissible),
+            num / jnp.where(den > cfg.pivot_tol, den, 1.0),
+            jnp.inf,
+        )
+        theta = jnp.min(ratios)
+        no_step = jnp.logical_not(jnp.isfinite(theta))
+        new_status = jnp.where(
+            feasible,
+            st.OPTIMAL,
+            jnp.where(dual_unb | no_step, st.DUAL_UNBOUNDED, st.RUNNING),
+        ).astype(jnp.int32)
+        y_new = jnp.where(
+            feasible | dual_unb | no_step, y, y + theta * y_r
+        )
+        return y_new, counter + 1, new_status, state.basis, state.bfs
+
+    dummy_state, _ = inner(y0)  # shapes for the carry
+    carry = (
+        y0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        dummy_state.basis,
+        dummy_state.bfs,
+    )
+    y, counter, status, basis, bfs = lax.while_loop(cond, body, carry)
+    status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)
+
+    structural = basis < n
+    x_full = jnp.zeros((n,), dt).at[
+        jnp.where(structural, basis, n - 1)
+    ].add(jnp.where(structural, bfs, 0.0))
+    x = x_full[:n0]  # strip the bounding variable
+    cost = c @ x
+    return x, cost, counter, status.astype(jnp.int32), y[:m0]
+
+
+@partial(jax.jit, static_argnames=("maxiters1", "maxiters2", "cfg"))
+def solve_primal_dual_batch(
+    c, A, b,
+    maxiters1: int = 100,
+    maxiters2: int = 100,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+):
+    """Batched, fully on-device primal-dual solve.
+
+    ``c[B, n], A[B, m, n], b[B, m]`` standard form with ``b >= 0``.
+    Returns ``(x[B, n], cost[B], iters[B], status[B], y[B, m])`` -- the
+    whole restricted-primal loop (inner simplex included) runs inside one
+    compiled computation per batch, with no host round-trips; something the
+    reference's nested host loops (``special_solvers.py:370-480``) cannot
+    express at all.
+    """
+    import jax
+
+    M = jax.vmap(get_bounds_on_bfs)(A, b)
+    return jax.vmap(
+        _device_primal_dual, in_axes=(0, 0, 0, 0, None, None, None)
+    )(c, A, b, M, maxiters1, maxiters2, cfg)
 
 
 class PrimalDualAlgorithm:
