@@ -49,6 +49,8 @@ class SolverConfig:
         ``"bland"``   -- first eligible column (anti-cycling; reference default,
         ``primal_solvers.py:135-138``).
         ``"dantzig"`` -- most-negative reduced cost (faster in practice).
+        ``"devex"``   -- reference-weight pricing (mega-kernel path only;
+        other paths fall back to dantzig selection).
     refactor_every:
         If > 0 and ``update == "eta"``, recompute ``inv(A[:, basis])`` from
         scratch every ``refactor_every`` pivots to bound eta-product drift.
@@ -79,7 +81,7 @@ class SolverConfig:
     def __post_init__(self):
         if self.update not in ("eta", "naive"):
             raise ValueError(f"unknown update rule: {self.update!r}")
-        if self.pricing not in ("bland", "dantzig"):
+        if self.pricing not in ("bland", "dantzig", "devex"):
             raise ValueError(f"unknown pricing rule: {self.pricing!r}")
         if self.dtype not in _DTYPES:
             raise ValueError(f"unknown dtype: {self.dtype!r}")

@@ -290,7 +290,7 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     eligible = (r < -cfg.opt_tol) & allowed
     any_elig = jnp.any(eligible)
 
-    if cfg.pricing == "dantzig":
+    if cfg.pricing in ("dantzig", "devex"):  # devex falls back to dantzig
         enter = jnp.argmin(jnp.where(eligible, r, jnp.inf))
     else:  # bland: first eligible column
         enter = jnp.argmax(eligible)

@@ -161,9 +161,10 @@ def _pallas_pack(c, A, state: SimplexState, allowed):
     bfs = state.bfs[:, None, :]
     basis = state.basis[:, None, :]
     cB = jnp.take_along_axis(c, state.basis, axis=1)[:, None, :]
+    gamma = jnp.ones((B, 1, n), A.dtype)  # devex reference weights
     iters = state.iters[:, None, None]
     status = state.status[:, None, None]
-    return c_row, apen, invBT, bfs, cB, basis, pen, iters, status
+    return c_row, apen, invBT, bfs, cB, basis, pen, gamma, iters, status
 
 
 def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
@@ -181,42 +182,44 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
     seg_len = cfg.refactor_every if cfg.refactor_every > 0 else (1 << 30)
     maxiters = jnp.asarray(maxiters, jnp.int32)
     maxit_arr = jnp.reshape(maxiters, (1, 1, 1))
-    c_row, apen, invBT, bfs, cB, basis, pen, iters, status = _pallas_pack(
+    c_row, apen, invBT, bfs, cB, basis, pen, gamma, iters, status = _pallas_pack(
         c, A, state, allowed
     )
 
     AT = jnp.swapaxes(A, 1, 2)
+    pricing_code = {"bland": 0, "dantzig": 1, "devex": 2}[cfg.pricing]
 
     def seg(args):
-        invBT, bfs, cB, basis, pen, iters, status = args
+        invBT, bfs, cB, basis, pen, gamma, iters, status = args
         return solve_segment(
             A, AT, c_row, apen, maxit_arr, invBT, bfs, cB, basis, pen,
-            iters, status,
-            seg_len=seg_len, dantzig=(cfg.pricing == "dantzig"),
+            gamma, iters, status,
+            seg_len=seg_len, pricing=pricing_code,
             opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
             dual=(mode == "dual"), feas_tol=cfg.feas_tol,
         )
 
-    carry = (invBT, bfs, cB, basis, pen, iters, status)
+    carry = (invBT, bfs, cB, basis, pen, gamma, iters, status)
 
     def any_running(carry):
-        _, _, _, _, _, iters, status = carry
+        iters, status = carry[-2], carry[-1]
         return jnp.any((status[:, 0, 0] == st.RUNNING) & (iters[:, 0, 0] < maxiters))
 
     def exact_refactor(carry):
-        invBT, bfs, cB, basis, pen, iters, status = carry
+        invBT, bfs, cB, basis, pen, gamma, iters, status = carry
         inv = jnp.linalg.inv(
             jnp.take_along_axis(A, basis[:, 0, :][:, None, :], axis=2)
         )
         fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)[:, None, :]
-        return (jnp.swapaxes(inv, 1, 2), fresh_bfs, cB, basis, pen, iters, status)
+        return (jnp.swapaxes(inv, 1, 2), fresh_bfs, cB, basis, pen,
+                jnp.ones_like(gamma), iters, status)
 
     def inner(carry):
         """Segments until every lane is terminal, refactoring in between."""
 
         def body(carry):
             carry = seg(carry)
-            invBT, bfs, cB, basis, pen, iters, status = carry
+            invBT, bfs, cB, basis, pen, gamma, iters, status = carry
             flat_basis = basis[:, 0, :]
             if cfg.refactor_method == "ns":
                 # loose basin threshold: only lanes whose eta product left
@@ -235,7 +238,9 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             run = (status[:, 0, 0] == st.RUNNING)[:, None, None]
             invBT = jnp.where(run, jnp.swapaxes(inv, 1, 2), invBT)
             bfs = jnp.where(run, fresh_bfs, bfs)
-            return (invBT, bfs, cB, basis, pen, iters, status)
+            # devex weights reset to the fresh reference framework
+            return (invBT, bfs, cB, basis, pen, jnp.ones_like(gamma),
+                    iters, status)
 
         return lax.while_loop(any_running, body, carry)
 
@@ -255,7 +260,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             def polish_body(pc):
                 carry, rnd, _ = pc
                 carry = exact_refactor(carry)
-                invBT, bfs, cB, basis, pen, iters, status = carry
+                invBT, bfs, cB, basis, pen, gamma, iters, status = carry
                 snapshot = iters
                 reopen = (status[:, 0, 0] == st.OPTIMAL) | (
                     status[:, 0, 0] == st.PRIMAL_UNBOUNDED
@@ -263,8 +268,10 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
                 status = jnp.where(
                     reopen[:, None, None], st.RUNNING, status
                 ).astype(jnp.int32)
-                carry = inner((invBT, bfs, cB, basis, pen, iters, status))
-                clean = jnp.all(carry[5] - snapshot <= 1)
+                carry = inner(
+                    (invBT, bfs, cB, basis, pen, gamma, iters, status)
+                )
+                clean = jnp.all(carry[-2] - snapshot <= 1)
                 return carry, rnd + 1, clean
 
             carry, _, _ = lax.while_loop(
@@ -274,7 +281,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
     else:
         carry = seg(carry)
 
-    invBT, bfs, cB, basis, pen, iters, status = carry
+    invBT, bfs, cB, basis, pen, gamma, iters, status = carry
     return SimplexState(
         basis=basis[:, 0, :],
         inv_B=jnp.swapaxes(invBT, 1, 2),

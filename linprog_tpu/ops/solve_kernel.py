@@ -62,16 +62,18 @@ def _dotg(a, b, a_dim, b_dim):
     )
 
 
-def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
+def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
                           # inputs
                           A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
                           iters_in_ref, status_in_ref,
                           invBT_in_ref, bfs_in_ref, cB_in_ref, basis_in_ref,
-                          pen_in_ref,
-                          # outputs (first five aliased to the last five inputs)
+                          pen_in_ref, gamma_in_ref,
+                          # outputs (first six aliased to the last six inputs)
                           invBT_ref, bfs_ref, cB_ref, basis_ref, pen_ref,
-                          iters_out_ref, status_out_ref):
+                          gamma_ref, iters_out_ref, status_out_ref):
+    # pricing: 0 = bland, 1 = dantzig, 2 = devex (reference-weight)
+    dantzig = pricing >= 1
     m, n = A_ref.shape[1], A_ref.shape[2]
     lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
@@ -84,6 +86,7 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
     cB_ref[0] = cB_in_ref[0]
     basis_ref[0] = basis_in_ref[0]
     pen_ref[0] = pen_in_ref[0]
+    gamma_ref[0] = gamma_in_ref[0]
 
     maxiters = maxiters_ref[0, 0, 0]
 
@@ -138,7 +141,15 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
             y = _dotg(cB, invBT, 1, 1)  # (1, m)
             r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
 
-            if dantzig:
+            if pricing == 2:  # devex: maximize r^2 / gamma over eligible
+                neg = r < -opt_tol
+                gamma = gamma_ref[0]
+                score = jnp.where(neg, (r * r) / gamma, -jnp.inf)
+                best_s = jnp.max(score)
+                enter = jnp.min(jnp.where(score == best_s, lane_n, n))
+                eligible = jnp.any(neg)
+                enter = jnp.where(eligible, enter, 0)
+            elif dantzig:
                 best = jnp.min(r)
                 enter = jnp.min(jnp.where(r == best, lane_n, n))
                 eligible = best < -opt_tol
@@ -197,6 +208,22 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
         )
         pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
 
+        if pricing == 2:
+            # devex reference weights: gamma_j <- max(gamma_j,
+            # (alpha_j/alpha_q)^2 gamma_q) with alpha the pivot row
+            # (w = e_l' inv_B A, one extra O(mn) matmul) and the leaving
+            # variable re-entering the nonbasic pool at gamma_q/alpha_q^2.
+            gamma = gamma_ref[0]
+            w = _dotg(col_l, A, 0, 0)  # (1, n) pivot row, alpha_q = d_l
+            gamma_q = jnp.sum(jnp.where(lane_n == enter, gamma, 0.0))
+            gamma_q = jnp.maximum(gamma_q, 1.0)
+            ratio2 = (w / safe) * (w / safe)
+            gamma_new = jnp.maximum(gamma, ratio2 * gamma_q)
+            g_leave = jnp.maximum(gamma_q / (safe * safe), 1.0)
+            gamma_new = jnp.where(lane_n == leaving_col, g_leave, gamma_new)
+            gamma_new = jnp.minimum(gamma_new, 1e12)
+            gamma_ref[0] = jnp.where(do_pivot, gamma_new, gamma)
+
         return seg + 1, iters + 1, stop_status.astype(jnp.int32)
 
     seg0 = jnp.zeros((), jnp.int32)
@@ -209,12 +236,12 @@ def _solve_segment_kernel(seg_len: int, dantzig: bool, opt_tol: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_len", "dantzig", "opt_tol", "pivot_tol", "dual",
+    static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "interpret"),
-    donate_argnums=(5, 6, 7, 8, 9),
+    donate_argnums=(5, 6, 7, 8, 9, 10),
 )
 def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
-                  iters, status, *, seg_len: int, dantzig: bool,
+                  gamma, iters, status, *, seg_len: int, pricing: int,
                   opt_tol: float, pivot_tol: float, dual: bool = False,
                   feas_tol: float = 1e-6,
                   interpret: bool | None = None):
@@ -234,7 +261,7 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         interpret = _interpret_default()
     B, m, n = A.shape
     kernel = functools.partial(
-        _solve_segment_kernel, seg_len, dantzig, opt_tol, pivot_tol,
+        _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
         dual, feas_tol,
     )
 
@@ -262,12 +289,14 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # cB
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # basis
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # pen
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # gamma
         ],
         out_specs=(
             pl.BlockSpec((1, m, m), lane, memory_space=vmem),
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),
+            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),
@@ -278,10 +307,12 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
             jax.ShapeDtypeStruct((B, 1, m), cB.dtype),
             jax.ShapeDtypeStruct((B, 1, m), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, n), pen.dtype),
+            jax.ShapeDtypeStruct((B, 1, n), gamma.dtype),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
         interpret=interpret,
-    )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
+    )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen,
+      gamma)
     return outs

@@ -87,3 +87,26 @@ def test_mega_kernel_two_phase_end_to_end():
         )
         assert ref.status == 0
         assert abs(float(res.cost[i]) - ref.fun) / max(1.0, abs(ref.fun)) < 5e-5
+
+
+def test_devex_pricing_reaches_optima():
+    """Devex pricing (mega-kernel only) must reach the same optima as
+    dantzig, typically in no more iterations."""
+    from linprog_tpu.batch import solve_batch_two_phase
+
+    B, m, n = 8, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=23)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    dz = solve_batch_two_phase(
+        cs, As, bs, 300, 300,
+        SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=16),
+    )
+    dv = solve_batch_two_phase(
+        cs, As, bs, 300, 300,
+        SolverConfig(pricing="devex", kernels="pallas", refactor_every=16),
+    )
+    assert (np.asarray(dv.status) == st.OPTIMAL).all()
+    np.testing.assert_allclose(
+        np.asarray(dv.cost), np.asarray(dz.cost), rtol=2e-4, atol=2e-4
+    )
