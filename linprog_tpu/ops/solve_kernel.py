@@ -64,6 +64,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
+                          use_at: bool,
                           # inputs
                           A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
                           iters_in_ref, status_in_ref,
@@ -134,7 +135,11 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 jnp.where(viable & jnp.logical_not(any_cand),
                           st.DUAL_UNBOUNDED, st.RUNNING),
             )
-            a_row = AT_ref[0, pl.ds(enter, 1), :]
+            if use_at:
+                a_row = AT_ref[0, pl.ds(enter, 1), :]
+            else:
+                onehot_n = jnp.where(lane_n == enter, 1.0, 0.0)
+                a_row = _dotg(onehot_n, A, 1, 1)  # (1, m) == A[:, enter]^T
             d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
         else:
             # ---- pricing: y = c_B inv_B; r = c - y A (+ mask penalty) ----
@@ -160,7 +165,14 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 enter = jnp.where(eligible, enter, 0)
 
             # ---- direction + primal ratio test ---------------------------
-            a_row = AT_ref[0, pl.ds(enter, 1), :]  # (1, m) == A[:, enter]^T
+            if use_at:
+                a_row = AT_ref[0, pl.ds(enter, 1), :]  # (1, m) == A[:, enter]^T
+            else:
+                # no A^T resident: fetch the column as a one-hot matmul
+                # (cheaper in VMEM, one extra O(mn) MXU op per pivot; used
+                # for large m where A + A^T no longer fit)
+                onehot_n = jnp.where(lane_n == enter, 1.0, 0.0)
+                a_row = _dotg(onehot_n, A, 1, 1)
             d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
             pos = d > pivot_tol
             any_pos = jnp.any(pos)
@@ -237,13 +249,13 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
-                     "feas_tol", "interpret"),
+                     "feas_tol", "use_at", "interpret"),
     donate_argnums=(5, 6, 7, 8, 9, 10),
 )
 def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
                   gamma, iters, status, *, seg_len: int, pricing: int,
                   opt_tol: float, pivot_tol: float, dual: bool = False,
-                  feas_tol: float = 1e-6,
+                  feas_tol: float = 1e-6, use_at: bool = True,
                   interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
@@ -262,7 +274,7 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
     B, m, n = A.shape
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
-        dual, feas_tol,
+        dual, feas_tol, use_at,
     )
 
     def lane(i):
@@ -278,7 +290,9 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, m, n), lane, memory_space=vmem),  # A
-            pl.BlockSpec((1, n, m), lane, memory_space=vmem),  # AT
+            (pl.BlockSpec((1, n, m), lane, memory_space=vmem) if use_at
+             else pl.BlockSpec((1, 1, AT.shape[2]), lane,
+                               memory_space=vmem)),  # AT (dummy if unused)
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # c_row
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # apen
             pl.BlockSpec((1, 1, 1), shared, memory_space=smem),  # maxiters

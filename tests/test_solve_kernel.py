@@ -110,3 +110,24 @@ def test_devex_pricing_reaches_optima():
     np.testing.assert_allclose(
         np.asarray(dv.cost), np.asarray(dz.cost), rtol=2e-4, atol=2e-4
     )
+
+
+def test_no_at_column_fetch_matches(monkeypatch):
+    """The matmul column-fetch path (use_at=False, for large m) must match
+    the resident-A^T path exactly."""
+    import linprog_tpu.engine_batched as eb
+
+    cfg = SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=0)
+    c1, A1, bsj, states, allowed = _setup(seed=11)
+    ref = run_batched_pallas(c1, A1, bsj, states, allowed, 100, cfg)
+
+    real_fits = eb._mega_kernel_fits
+    monkeypatch.setattr(
+        eb, "_mega_kernel_fits",
+        lambda m, n, with_at, **kw: False if with_at else real_fits(
+            m, n, with_at=False, **kw),
+    )
+    out = eb.run_batched_pallas(c1, A1, bsj, states, allowed, 100, cfg)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    assert np.array_equal(np.asarray(out.iters), np.asarray(ref.iters))
