@@ -103,3 +103,33 @@ def test_maximize_objsense(tmp_path):
     res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
     # max x s.t. x <= 5 -> x = 5 (internal min form cost -5)
     assert res.x[0] == pytest.approx(5.0, abs=1e-5)
+
+
+def test_ranges_section(tmp_path):
+    text = textwrap.dedent("""\
+        NAME RANGED
+        ROWS
+         N  OBJ
+         L  R1
+         G  R2
+        COLUMNS
+            X   OBJ   -1.0   R1   1.0
+            X   R2    1.0
+            Y   OBJ   -1.0   R1   1.0
+        RHS
+            RHS R1    8.0    R2   1.0
+        RANGES
+            RNG R1    3.0
+        ENDATA
+        """)
+    p = tmp_path / "ranged.mps"
+    p.write_text(text)
+    prob = read_mps(str(p))
+    assert prob.ranges[0] == 3.0 and np.isnan(prob.ranges[1])
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    # L row with range r: rhs - r <= a'x <= rhs -> extra G row
+    assert G.shape[0] == 3  # R1 (<=8), -R2 (>=1 negated), range side (>=5)
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    assert res.optimum
+    # max x+y subject to 5 <= x+y <= 8, x >= 1 -> objective -8
+    assert res.cost == pytest.approx(-8.0, abs=1e-4)
