@@ -67,9 +67,39 @@ class OracleSimplex:
         self.basis_trace.append(self.basis.copy())
         return True
 
-    def solve(self, maxiters: int = 10_000):
+    def dual_step(self) -> bool:
+        """One dual-simplex pivot; returns False when terminal."""
+        neg = self.x_B < -self.tol
+        if not neg.any():
+            self.status = "optimal"
+            return False
+        if self.pricing == "bland":
+            leave = int(np.argmax(neg))
+        else:  # dantzig: most infeasible basic variable
+            leave = int(np.argmin(self.x_B))
+        u = self.inv_B[leave] @ self.A
+        u[self.basis] = 0.0
+        cand = u < -self.tol
+        if not cand.any():
+            self.status = "dual_unbounded"
+            return False
+        r = self.reduced_costs()
+        theta = np.where(cand, -r / np.where(cand, u, -1.0), np.inf)
+        enter = int(np.argmin(theta))
+        d = self.inv_B @ self.A[:, enter]
+        w = -d / d[leave]
+        w[leave] = 1.0 / d[leave] - 1.0
+        self.inv_B += np.outer(w, self.inv_B[leave])
+        self.x_B += w * self.x_B[leave]
+        self.basis[leave] = enter
+        self.trace.append((enter, leave))
+        self.basis_trace.append(self.basis.copy())
+        return True
+
+    def solve(self, maxiters: int = 10_000, mode: str = "primal"):
+        step = self.step if mode == "primal" else self.dual_step
         for _ in range(maxiters):
-            if not self.step():
+            if not step():
                 break
         else:
             self.status = "iter_limit"

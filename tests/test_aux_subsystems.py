@@ -86,3 +86,21 @@ def test_solve_batch_general_flags_infeasible_lane():
     results = solve_batch_general(problems)
     assert results[0].status == st.PRIMAL_INFEASIBLE
     assert results[1].optimum
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from linprog_tpu.checkpoint import load_state_orbax, save_state_orbax
+
+    p = PRIMAL_PROBLEMS[0]
+    solver = PrimalRevisedSimplexSolver(p.c, p.A, p.b, p.starting_basis)
+    solver.solve(maxiters=2)
+    path = str(tmp_path / "orbax_ckpt")
+    save_state_orbax(path, solver.state)
+    restored = load_state_orbax(path, solver.state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.basis), np.asarray(solver.state.basis)
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.inv_B), np.asarray(solver.state.inv_B), rtol=1e-6
+    )

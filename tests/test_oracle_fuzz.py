@@ -61,3 +61,46 @@ def test_engine_matches_oracle_pivot_path(pricing, seed):
     res = solver.solve(maxiters=200)
     assert res.optimum
     assert res.cost == pytest.approx(oracle.cost, abs=1e-6)
+
+
+@pytest.mark.parametrize("pricing", ["bland", "dantzig"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dual_engine_matches_oracle_pivot_path(pricing, seed):
+    """Dual simplex pivot-path fuzz: optimize, perturb b, re-optimize with
+    the dual engine and the independent oracle -- paths must coincide."""
+    from linprog_tpu import DualRevisedSimplexSolver
+
+    rng = np.random.default_rng(100 + seed)
+    m, n = 5, 12
+    G = rng.normal(size=(m, n - m))
+    b = np.abs(G @ rng.uniform(0.5, 1.5, size=n - m)) + rng.uniform(0.5, 1.5, m)
+    y0 = rng.uniform(0.0, 1.0, size=m)
+    s = rng.uniform(0.1, 1.0, size=n - m)
+    c = np.concatenate([s - G.T @ y0, np.zeros(m)])
+    A = np.concatenate([G, np.eye(m)], axis=1)
+
+    base = OracleSimplex(c, A, b, np.arange(n - m, n), pricing="dantzig")
+    base.solve(maxiters=500)
+    assert base.status == "optimal"
+    opt_basis = base.basis.copy()
+
+    b_new = b * (1.0 + 0.3 * rng.standard_normal(m))
+
+    # both the oracle and the engine apply the same b>=0 row sign-fix,
+    # so their dual iterations see identical data
+    oracle = OracleSimplex(c, A, b_new, opt_basis, pricing=pricing)
+    oracle.solve(maxiters=500, mode="dual")
+    if oracle.status != "optimal":
+        pytest.skip(f"oracle terminal status {oracle.status}")
+
+    cfg = SolverConfig(pricing=pricing, dtype="float64", opt_tol=1e-9,
+                       feas_tol=1e-9, pivot_tol=1e-12)
+    solver = DualRevisedSimplexSolver(c, A, b_new, opt_basis, config=cfg)
+    for expected in oracle.basis_trace[1:]:
+        res = solver.solve(maxiters=1)
+        assert np.array_equal(res.basis, expected), (
+            f"dual path diverged: {res.basis} vs {expected}"
+        )
+    res = solver.solve(maxiters=500)
+    assert res.optimum
+    assert res.cost == pytest.approx(oracle.cost, abs=1e-6)
