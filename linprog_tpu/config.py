@@ -14,10 +14,12 @@ import dataclasses
 
 import jax.numpy as jnp
 
+# bfloat16 is deliberately NOT offered: basis factors and reduced costs
+# need f32 at minimum (see docs/DESIGN.md on MXU precision), and a bf16
+# dtype option would silently produce wrong pivots.
 _DTYPES = {
     "float32": jnp.float32,
     "float64": jnp.float64,
-    "bfloat16": jnp.bfloat16,
 }
 
 
