@@ -84,3 +84,30 @@ def test_variable_bounds_via_rows():
     ).solve()
     assert res.optimum
     assert res.x[0] == pytest.approx(2.0, abs=1e-5)
+
+
+def test_tiny_one_by_one_lp():
+    # min 2x s.t. x = 3
+    res = SimplexSolver(np.array([2.0]), A=np.array([[1.0]]), b=np.array([3.0])).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(3.0, abs=1e-6)
+    assert res.cost == pytest.approx(6.0, abs=1e-5)
+
+
+def test_zero_objective():
+    # any feasible point optimal; must terminate immediately with cost 0
+    res = SimplexSolver(
+        np.zeros(3), G=np.array([[1.0, 1.0, 1.0]]), h=np.array([5.0])
+    ).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(0.0, abs=1e-6)
+
+
+def test_already_optimal_start():
+    # min x1 + x2 s.t. x1 + x2 + s = 4: slack basis is optimal (c >= 0)
+    res = SimplexSolver(
+        np.array([1.0, 1.0]), G=np.array([[1.0, 1.0]]), h=np.array([4.0])
+    ).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(0.0, abs=1e-6)
+    assert np.allclose(res.x, 0.0, atol=1e-6)
