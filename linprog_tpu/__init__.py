@@ -8,6 +8,17 @@ reference never had: a fully batched ``vmap`` mode, mesh sharding across TPU
 slices, device-side status codes, and an explicit checkpointable solver state.
 """
 
+import jax as _jax
+
+# MEASURED requirement on TPU (see docs/DESIGN.md): the MXU's default bf16
+# matmul passes make reduced costs inaccurate enough to flip pivot selections
+# and stop simplex at wrong vertices, and keep PDHG from converging.  Every
+# matmul/einsum in the package must therefore run at HIGHEST precision --
+# enforced globally here so no code path (XLA fallback, TP, bounded,
+# primal-dual) can silently regress.  Explicit ``precision=`` kwargs at the
+# Pallas/dot_general call sites remain as local documentation.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .api import (
     BoundedVariablePrimalSimplexSolver,
     DualNaiveSimplexSolver,

@@ -380,6 +380,26 @@ class SimplexSolver:
             ub = np.concatenate([ub, np.full(k, np.inf, dtype=dtype)])
         self.n_aug = n_orig + k
 
+        # ---- finite nonzero lower bounds: shift x_j = lb_j + w_j ---------
+        # Standard form imposes x >= 0, so a finite lb (negative OR positive)
+        # is handled by substitution rather than an extra `x_j - s = lb_j`
+        # row: rhs shifts by A[:, j] * lb_j, the variable's bounds become
+        # [0, ub_j - lb_j].  This (a) makes lb < 0 correct (previously the
+        # implicit x >= 0 silently cut off optima with negative x_j),
+        # (b) removes one row+column per bounded variable vs bounds_to_rows,
+        # and (c) is exact for tiny lb like 1e-9 (bounds_to_rows treated
+        # anything within isclose of 0 as 0).
+        shift_idx = np.flatnonzero(np.isfinite(lb) & (lb != 0.0))
+        self._shift_idx = shift_idx
+        self._shift_lb = lb[shift_idx].copy()
+        if shift_idx.size:
+            if b is not None:
+                b = b - A[:, shift_idx] @ self._shift_lb
+            if h is not None:
+                h = h - G[:, shift_idx] @ self._shift_lb
+            ub[shift_idx] = ub[shift_idx] - self._shift_lb
+            lb[shift_idx] = 0.0
+
         c_std, A_std, b_std, num_slack = forms.general_to_standard(
             c, A=A, b=b, G=G, h=h, dtype=dtype
         )
@@ -396,6 +416,8 @@ class SimplexSolver:
             x[self._split_idx] -= x_aug[self.n_orig : self.n_aug]
         if self._sub_idx.size:
             x[self._sub_idx] = self._sub_ub - x[self._sub_idx]
+        if self._shift_idx.size:  # disjoint from sub/split (those set lb=0)
+            x[self._shift_idx] += self._shift_lb
         return x
 
     def solve(self, maxiters1: int = 100, maxiters2: int = 100) -> LinProgResult:

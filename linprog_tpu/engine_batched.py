@@ -62,7 +62,10 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
             state.inv_B, state.bfs, acol, go[:, None], pivot_tol=cfg.pivot_tol
         )
         unbounded = unb > 0
-        pivoted = go > 0
+        # an unbounded lane got leave=0 from the kernel and must NOT have its
+        # basis overwritten (inv_B/bfs were left unchanged by the kernel);
+        # mirrors the XLA branch's `go & any_pos` masking.
+        pivoted = (go > 0) & ~unbounded
     else:
         y = jnp.einsum("bm,bmk->bk", cB, state.inv_B)
         r = c - jnp.einsum("bm,bmn->bn", y, A) + penalty
@@ -295,6 +298,106 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
     )
 
 
+def _stream_variant(m: int, n: int, itemsize: int = 4,
+                    vmem_budget: int = 13 * 1024 * 1024):
+    """Pick the streaming mega-kernel regime for (m, n), or None.
+
+    Unlike the whole-in-VMEM kernel, the streaming kernel holds its big
+    operands in manually-managed scratch (no Mosaic grid double-buffering),
+    so the estimate is direct: invBT copy + eta-update temp (~m*m) + either
+    a resident A slab or two (m, n_blk) DMA blocks + O(m+n) rows.
+    Returns ``("resident" | "stream", n_blk)``.
+    """
+    rows = 12 * (m + n) * itemsize
+    resident = (m * n + 2 * m * m) * itemsize + rows
+    if resident <= vmem_budget:
+        return ("resident", 0)
+    for n_blk in (512, 256, 128):
+        if n % n_blk:
+            continue
+        stream = (2 * m * n_blk + 2 * m * m) * itemsize + rows
+        if stream <= vmem_budget:
+            return ("stream", n_blk)
+    return None
+
+
+def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
+                       cfg: SolverConfig, mode: str = "primal",
+                       variant: str = "resident",
+                       n_blk: int = 256) -> SimplexState:
+    """Segment driver for the large-m streaming mega-kernel.
+
+    Same contract as :func:`run_batched_pallas` (segments of up to
+    ``cfg.refactor_every`` in-VMEM iterations, exact refactorization of
+    still-running lanes in XLA between segments) for m past the
+    whole-in-VMEM kernel's limit.  Devex pricing falls back to dantzig
+    selection (the weight update would need a second pass over A).
+    """
+    from .ops.stream_kernel import solve_segment_stream
+
+    B, m, n = A.shape
+    seg_len = cfg.refactor_every if cfg.refactor_every > 0 else (1 << 30)
+    maxiters = jnp.asarray(maxiters, jnp.int32)
+    maxit_arr = jnp.reshape(maxiters, (1, 1, 1))
+    c_row, apen, invBT, bfs, cB, basis, pen, _, iters, status = _pallas_pack(
+        c, A, state, allowed
+    )
+    if variant == "stream":
+        AT = jnp.swapaxes(A, 1, 2)
+    else:
+        AT = jnp.zeros((B, 1, 128), A.dtype)
+    pricing_code = {"bland": 0, "dantzig": 1, "devex": 1}[cfg.pricing]
+
+    def seg(carry):
+        invBT, bfs, cB, basis, pen, iters, status = carry
+        return solve_segment_stream(
+            A, AT, c_row, apen, maxit_arr, invBT, bfs, cB, basis, pen,
+            iters, status,
+            seg_len=seg_len, pricing=pricing_code, opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol, dual=(mode == "dual"),
+            feas_tol=cfg.feas_tol, a_resident=(variant == "resident"),
+            n_blk=n_blk,
+        )
+
+    def any_running(carry):
+        iters, status = carry[-2], carry[-1]
+        return jnp.any(
+            (status[:, 0, 0] == st.RUNNING) & (iters[:, 0, 0] < maxiters)
+        )
+
+    def body(carry):
+        carry = seg(carry)
+        invBT, bfs, cB, basis, pen, iters, status = carry
+        flat_basis = basis[:, 0, :]
+        if cfg.refactor_method == "ns":
+            inv, fresh_bfs = newton_schulz_refine(
+                A, b, flat_basis, jnp.swapaxes(invBT, 1, 2), resid_tol=1e-1
+            )
+        else:
+            inv = jnp.linalg.inv(
+                jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
+            )
+            fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)
+        run = (status[:, 0, 0] == st.RUNNING)[:, None, None]
+        invBT = jnp.where(run, jnp.swapaxes(inv, 1, 2), invBT)
+        bfs = jnp.where(run, fresh_bfs[:, None, :], bfs)
+        return (invBT, bfs, cB, basis, pen, iters, status)
+
+    carry = (invBT, bfs, cB, basis, pen, iters, status)
+    if cfg.refactor_every > 0:
+        carry = lax.while_loop(any_running, body, carry)
+    else:
+        carry = seg(carry)
+    invBT, bfs, cB, basis, pen, iters, status = carry
+    return SimplexState(
+        basis=basis[:, 0, :],
+        inv_B=jnp.swapaxes(invBT, 1, 2),
+        bfs=bfs[:, 0, :],
+        iters=iters[:, 0, 0],
+        status=status[:, 0, 0],
+    )
+
+
 def _mega_kernel_fits(m: int, n: int, with_at: bool, itemsize: int = 4,
                       vmem_budget: int = 15 * 1024 * 1024) -> bool:
     """Does one lane's working set fit Mosaic's 16MB scoped VMEM?
@@ -323,7 +426,13 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
         if _mega_kernel_fits(m, n, with_at=False):
             return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg,
                                       mode)
-        # working set exceeds VMEM even without A^T: fall back to XLA
+        variant = _stream_variant(m, n)
+        if variant is not None:
+            return run_batched_stream(
+                c, A, b, state, allowed, maxiters, cfg, mode,
+                variant=variant[0], n_blk=variant[1],
+            )
+        # working set exceeds VMEM even for the streaming kernel: XLA
         cfg = cfg.replace(kernels="xla")
     if mode == "dual":
         from . import engine

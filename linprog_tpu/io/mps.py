@@ -37,7 +37,13 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "mps_reader.cpp"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if not _LIB_PATH.exists() or stale:
         _build_library()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.mps_open.restype = ctypes.c_void_p
@@ -139,7 +145,10 @@ def mps_to_solver_inputs(
            Optional[np.ndarray], Optional[np.ndarray], np.ndarray, np.ndarray]:
     """Convert to ``SimplexSolver`` inputs ``(c, A, b, G, h, lb, ub)``."""
     c = -prob.c if prob.maximize else prob.c.copy()
-    eq = prob.row_types == "E"
+    ranged = ~np.isnan(prob.ranges)
+    # a ranged E row is NOT an equality: it becomes a two-sided interval
+    # (standard MPS semantics below), so exclude it from the equality block
+    eq = (prob.row_types == "E") & ~ranged
     le = prob.row_types == "L"
     ge = prob.row_types == "G"
 
@@ -155,7 +164,6 @@ def mps_to_solver_inputs(
         G_rows.append(-prob.A[ge])
         h_vals.append(-prob.rhs[ge])
     # RANGES: row with range r gets a second-side constraint.
-    ranged = ~np.isnan(prob.ranges)
     for i in np.flatnonzero(ranged):
         t = prob.row_types[i]
         r = abs(prob.ranges[i])
@@ -165,7 +173,18 @@ def mps_to_solver_inputs(
         elif t == "G":  # rhs <= a'x <= rhs + r
             G_rows.append(prob.A[i][None, :])
             h_vals.append(np.array([prob.rhs[i] + r]))
-        # ranged E rows would need sign(range) handling; unsupported subset
+        elif t == "E":
+            # sign(range) semantics: r > 0 -> rhs <= a'x <= rhs + |r|;
+            # r < 0 -> rhs - |r| <= a'x <= rhs (both sides as G rows,
+            # replacing the equality excluded above)
+            if prob.ranges[i] >= 0:
+                lo, hi = prob.rhs[i], prob.rhs[i] + r
+            else:
+                lo, hi = prob.rhs[i] - r, prob.rhs[i]
+            G_rows.append(prob.A[i][None, :])
+            h_vals.append(np.array([hi]))
+            G_rows.append(-prob.A[i][None, :])
+            h_vals.append(np.array([-lo]))
     G = np.concatenate(G_rows, axis=0) if G_rows else None
     h = np.concatenate(h_vals) if h_vals else None
     return c, A_eq, b_eq, G, h, prob.lb.copy(), prob.ub.copy()

@@ -111,3 +111,51 @@ def test_already_optimal_start():
     assert res.optimum
     assert res.cost == pytest.approx(0.0, abs=1e-6)
     assert np.allclose(res.x, 0.0, atol=1e-6)
+
+
+def test_finite_negative_lower_bound():
+    # min x1 s.t. x1 + x2 <= 1, x1 >= -3: optimum x1 = -3 (previously the
+    # implicit x >= 0 of standard form silently clamped x1 to 0)
+    c = np.array([1.0, 0.0])
+    G = np.array([[1.0, 1.0]])
+    h = np.array([1.0])
+    res = SimplexSolver(
+        c, G=G, h=h, lb=np.array([-3.0, 0.0]), ub=np.array([np.inf, np.inf])
+    ).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(-3.0, abs=1e-5)
+    assert res.cost == pytest.approx(-3.0, abs=1e-5)
+
+
+def test_negative_lb_with_finite_ub():
+    # min -x1 - x2 s.t. x1 + x2 <= 2, -1 <= x1 <= 1.5, -0.5 <= x2 <= 3
+    c = np.array([-1.0, -1.0])
+    G = np.array([[1.0, 1.0]])
+    h = np.array([2.0])
+    res = SimplexSolver(
+        c, G=G, h=h, lb=np.array([-1.0, -0.5]), ub=np.array([1.5, 3.0])
+    ).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(-2.0, abs=1e-5)
+
+
+def test_negative_lb_with_equality():
+    # min x1 s.t. x1 + x2 = 0, x2 <= 2, x1 >= -2 -> x1 = -2, x2 = 2
+    c = np.array([1.0, 0.0])
+    A = np.array([[1.0, 1.0]])
+    b = np.array([0.0])
+    res = SimplexSolver(
+        c, A=A, b=b, lb=np.array([-2.0, 0.0]), ub=np.array([np.inf, 2.0])
+    ).solve()
+    assert res.optimum
+    assert np.allclose(res.x, [-2.0, 2.0], atol=1e-5)
+
+
+def test_tiny_positive_lb_not_dropped():
+    # lb = 1e-3 (previously any lb within isclose of 0 was treated as 0)
+    c = np.array([1.0])
+    G = np.array([[1.0]])
+    h = np.array([5.0])
+    res = SimplexSolver(c, G=G, h=h, lb=np.array([1e-3])).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(1e-3, abs=1e-6)

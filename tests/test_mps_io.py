@@ -133,3 +133,54 @@ def test_ranges_section(tmp_path):
     assert res.optimum
     # max x+y subject to 5 <= x+y <= 8, x >= 1 -> objective -8
     assert res.cost == pytest.approx(-8.0, abs=1e-4)
+
+
+def test_ranged_e_row(tmp_path):
+    # E row with RANGES: sign(range) semantics (previously silently treated
+    # as a pure equality, shrinking the feasible region)
+    text = textwrap.dedent("""\
+        NAME RANGEDE
+        ROWS
+         N  OBJ
+         E  R1
+        COLUMNS
+            X   OBJ   -1.0   R1   1.0
+        RHS
+            RHS R1    2.0
+        RANGES
+            RNG R1    3.0
+        ENDATA
+        """)
+    p = tmp_path / "rangede.mps"
+    p.write_text(text)
+    prob = read_mps(str(p))
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    # r > 0 on an E row: 2 <= x <= 5; the row must NOT stay an equality
+    assert A is None and G.shape[0] == 2
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(5.0, abs=1e-5)  # min -x -> x = 5
+
+
+def test_ranged_e_row_negative_range(tmp_path):
+    text = textwrap.dedent("""\
+        NAME RANGEDEN
+        ROWS
+         N  OBJ
+         E  R1
+        COLUMNS
+            X   OBJ   1.0   R1   1.0
+        RHS
+            RHS R1    4.0
+        RANGES
+            RNG R1    -3.0
+        ENDATA
+        """)
+    p = tmp_path / "rangeden.mps"
+    p.write_text(text)
+    prob = read_mps(str(p))
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    # r < 0 on an E row: 1 <= x <= 4
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(1.0, abs=1e-5)  # min x -> x = 1
