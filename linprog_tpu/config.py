@@ -68,6 +68,15 @@ class SolverConfig:
     update: str = "eta"
     pricing: str = "bland"
     refactor_every: int = 0
+    # Stalled-lane escalation (anti-cycling for the fast pricing rules):
+    # if a lane's objective makes no relative progress (> ~1e-6) for
+    # `stall_limit` consecutive pivots under dantzig/devex pricing, the lane
+    # flips to Bland's rule (provably cycle-free) until progress resumes.
+    # Dantzig provably cycles on degenerate LPs (Beale 1955; pinned by
+    # tests/test_degeneracy.py) -- without this, one degenerate lane burns
+    # the whole batch's iteration budget.  0 disables (exact legacy paths).
+    # Applied in the mega-kernels and the batched XLA primal path.
+    stall_limit: int = 24
     dtype: str = "float32"
     kernels: str = "xla"  # "xla" | "pallas" -- batched hot-op implementation
     # refactorization method between segments/chunks:

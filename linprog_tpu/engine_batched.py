@@ -42,8 +42,13 @@ def _gather_cols(A, idx):
 
 
 def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig,
-                        maxiters) -> SimplexState:
-    """One batched primal iteration over all lanes (finished lanes frozen)."""
+                        maxiters, bland=None) -> SimplexState:
+    """One batched primal iteration over all lanes (finished lanes frozen).
+
+    ``bland`` (optional bool[B], XLA path only): lanes flagged True use
+    Bland's first-eligible entering rule regardless of ``cfg.pricing`` --
+    the per-lane stall escalation of :func:`run_batched`.
+    """
     B, m, n = A.shape
     running = (state.status == st.RUNNING) & (state.iters < maxiters)
 
@@ -72,6 +77,9 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
         if cfg.pricing == "dantzig":
             enter = jnp.argmin(r, axis=1)
             eligible = jnp.take_along_axis(r, enter[:, None], axis=1)[:, 0] < -cfg.opt_tol
+            if bland is not None:  # stalled lanes: first eligible column
+                enter_b = jnp.argmax(r < -cfg.opt_tol, axis=1)
+                enter = jnp.where(bland, enter_b, enter)
         else:
             neg = r < -cfg.opt_tol
             enter = jnp.argmax(neg, axis=1)
@@ -204,6 +212,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             seg_len=seg_len, pricing=pricing_code,
             opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
             dual=(mode == "dual"), feas_tol=cfg.feas_tol, use_at=use_at,
+            stall_limit=cfg.stall_limit,
         )
 
     carry = (invBT, bfs, cB, basis, pen, gamma, iters, status)
@@ -356,7 +365,7 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
             seg_len=seg_len, pricing=pricing_code, opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol, dual=(mode == "dual"),
             feas_tol=cfg.feas_tol, a_resident=(variant == "resident"),
-            n_blk=n_blk,
+            n_blk=n_blk, stall_limit=cfg.stall_limit,
         )
 
     def any_running(carry):
@@ -441,34 +450,62 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
         )(c, A, b, state, allowed, maxiters, cfg, "dual")
     maxiters = jnp.asarray(maxiters, jnp.int32)
+    B = A.shape[0]
+    track = cfg.stall_limit > 0 and cfg.pricing in ("dantzig", "devex")
+    aux0 = (
+        jnp.full((B,), jnp.inf, jnp.float32),  # z_prev
+        jnp.zeros((B,), jnp.int32),  # stall counter
+        jnp.zeros((B,), jnp.bool_),  # bland escalation flag
+    )
 
-    def any_running(ss):
+    def any_running(carry):
+        ss = carry[0]
         return jnp.any((ss.status == st.RUNNING) & (ss.iters < maxiters))
 
-    def body(ss):
-        return batched_primal_step(c, A, b, allowed, ss, cfg, maxiters)
+    def step(carry, hi):
+        ss, z_prev, stall, bland = carry
+        if track:
+            # per-lane stall detection: no relative objective progress over
+            # `stall_limit` pivots -> that lane's pricing escalates to
+            # Bland's cycle-free rule until progress resumes.
+            cB = jnp.take_along_axis(c, ss.basis, axis=1)
+            z = jnp.einsum("bm,bm->b", cB, ss.bfs)
+            progressed = jnp.abs(z - z_prev) > 1e-6 * (jnp.abs(z) + 1.0)
+            stall = jnp.where(progressed, 0, stall + 1)
+            bland = jnp.where(
+                progressed, False, bland | (stall >= cfg.stall_limit)
+            )
+            ss = batched_primal_step(c, A, b, allowed, ss, cfg, hi,
+                                     bland=bland)
+            return (ss, z, stall, bland)
+        return (batched_primal_step(c, A, b, allowed, ss, cfg, hi),
+                z_prev, stall, bland)
 
     if cfg.refactor_every > 0 and cfg.update == "eta":
         chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
 
-        def outer_body(ss):
+        def outer_body(carry):
+            ss = carry[0]
             hi = jnp.minimum(jnp.min(jnp.where(
                 ss.status == st.RUNNING, ss.iters, maxiters)) + chunk, maxiters)
 
-            def inner_cond(tt):
+            def inner_cond(cc):
+                tt = cc[0]
                 return jnp.any(
                     (tt.status == st.RUNNING) & (tt.iters < hi)
                 )
 
-            def inner_body(tt):
-                return batched_primal_step(c, A, b, allowed, tt, cfg, hi)
-
-            ss = lax.while_loop(inner_cond, inner_body, ss)
+            carry = lax.while_loop(
+                inner_cond, lambda cc: step(cc, hi), carry
+            )
+            ss = carry[0]
             fresh = batched_refactorize(A, b, ss)
             run = (ss.status == st.RUNNING)[:, None]
             inv_B = jnp.where(run[..., None], fresh.inv_B, ss.inv_B)
             bfs = jnp.where(run, fresh.bfs, ss.bfs)
-            return ss._replace(inv_B=inv_B, bfs=bfs)
+            return (ss._replace(inv_B=inv_B, bfs=bfs),) + carry[1:]
 
-        return lax.while_loop(any_running, outer_body, state)
-    return lax.while_loop(any_running, body, state)
+        return lax.while_loop(any_running, outer_body, (state,) + aux0)[0]
+    return lax.while_loop(
+        any_running, lambda cc: step(cc, maxiters), (state,) + aux0
+    )[0]

@@ -64,7 +64,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
-                          use_at: bool,
+                          use_at: bool, stall_limit: int,
                           # inputs
                           A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
                           iters_in_ref, status_in_ref,
@@ -91,18 +91,38 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
 
     maxiters = maxiters_ref[0, 0, 0]
 
+    # stall escalation active only for the fast rules (bland is cycle-free)
+    track_stall = stall_limit > 0 and pricing >= 1
+
     def cond(carry):
-        seg, iters, status = carry
+        seg, iters, status = carry[0], carry[1], carry[2]
         return (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
 
     def body(carry):
-        seg, iters, status = carry
+        seg, iters, status, z_prev, stall, bland = carry
         A = A_ref[0]  # (m, n)
         invBT = invBT_ref[0]  # (m, m) = inv_B^T
         bfs = bfs_ref[0]  # (1, m)
         cB = cB_ref[0]  # (1, m)
         basis = basis_ref[0]  # (1, m) i32
         pen = pen_ref[0]  # (1, n)
+
+        # ---- stalled-lane detection: no objective progress over k pivots
+        # under dantzig/devex -> flip to Bland (cycle-free) until progress
+        # resumes.  Matches SURVEY section-5 failure-detection plan; the
+        # reference's default rule is cycle-safe Bland
+        # (/root/reference/linprog/primal_solvers.py:135-138).
+        if track_stall:
+            z = jnp.sum(cB * bfs)
+            progressed = jnp.abs(z - z_prev) > 1e-6 * (jnp.abs(z) + 1.0)
+            stall = jnp.where(progressed, 0, stall + 1)
+            bland = jnp.where(
+                progressed, 0, jnp.where(stall >= stall_limit, 1, bland)
+            )
+            use_bland = bland != 0
+        else:
+            z = z_prev
+            use_bland = jnp.zeros((), jnp.bool_)
 
         if dual:
             # ---- dual iteration: leaving row first, then entering column --
@@ -111,6 +131,9 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             if dantzig:  # most-infeasible row (dual Dantzig)
                 worst = jnp.min(bfs)
                 leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
+                if track_stall:  # stalled: first infeasible row (Bland)
+                    leave_b = jnp.min(jnp.where(neg, lane_m, m))
+                    leave = jnp.where(use_bland, leave_b, leave)
             else:  # bland: first infeasible row (reference rule)
                 leave = jnp.min(jnp.where(neg, lane_m, m))
             leave = jnp.where(viable, leave, 0)
@@ -153,8 +176,8 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 best_s = jnp.max(score)
                 enter = jnp.min(jnp.where(score == best_s, lane_n, n))
                 eligible = jnp.any(neg)
-                enter = jnp.where(eligible, enter, 0)
             elif dantzig:
+                neg = r < -opt_tol
                 best = jnp.min(r)
                 enter = jnp.min(jnp.where(r == best, lane_n, n))
                 eligible = best < -opt_tol
@@ -162,7 +185,10 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 neg = r < -opt_tol
                 enter = jnp.min(jnp.where(neg, lane_n, n))
                 eligible = jnp.any(neg)
-                enter = jnp.where(eligible, enter, 0)
+            if track_stall:  # stalled lane: first eligible column (Bland)
+                enter_b = jnp.min(jnp.where(neg, lane_n, n))
+                enter = jnp.where(use_bland, enter_b, enter)
+            enter = jnp.where(eligible, enter, 0)
 
             # ---- direction + primal ratio test ---------------------------
             if use_at:
@@ -236,27 +262,30 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             gamma_new = jnp.minimum(gamma_new, 1e12)
             gamma_ref[0] = jnp.where(do_pivot, gamma_new, gamma)
 
-        return seg + 1, iters + 1, stop_status.astype(jnp.int32)
+        return (seg + 1, iters + 1, stop_status.astype(jnp.int32),
+                z, stall, bland)
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
     status0 = status_in_ref[0, 0, 0]
-    _, iters_f, status_f = lax.while_loop(cond, body, (seg0, iters0, status0))
-    iters_out_ref[0, 0, 0] = iters_f
-    status_out_ref[0, 0, 0] = status_f
+    carry0 = (seg0, iters0, status0, jnp.asarray(jnp.inf, jnp.float32),
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    out = lax.while_loop(cond, body, carry0)
+    iters_out_ref[0, 0, 0] = out[1]
+    status_out_ref[0, 0, 0] = out[2]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
-                     "feas_tol", "use_at", "interpret"),
+                     "feas_tol", "use_at", "stall_limit", "interpret"),
     donate_argnums=(5, 6, 7, 8, 9, 10),
 )
 def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
                   gamma, iters, status, *, seg_len: int, pricing: int,
                   opt_tol: float, pivot_tol: float, dual: bool = False,
                   feas_tol: float = 1e-6, use_at: bool = True,
-                  interpret: bool | None = None):
+                  stall_limit: int = 0, interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
     Shapes: ``A[B, m, n]``, ``AT[B, n, m]``, ``c_row[B, 1, n]``,
@@ -274,7 +303,7 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
     B, m, n = A.shape
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
-        dual, feas_tol, use_at,
+        dual, feas_tol, use_at, stall_limit,
     )
 
     def lane(i):

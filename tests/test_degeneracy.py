@@ -91,3 +91,72 @@ def test_batched_bounded_variable_engine():
     expected = np.array([2 / 3, 6.0, 8 / 3, 0.0, 0.0])
     for i in range(B):  # scaling c does not move the argmin
         assert np.allclose(np.asarray(xs)[i], expected, atol=1e-3)
+
+
+def _beale_batch(B=3):
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu import engine
+
+    c, A, b, basis = beale_lp()
+    cb = jnp.tile(jnp.asarray(c, jnp.float32), (B, 1))
+    Ab = jnp.tile(jnp.asarray(A, jnp.float32), (B, 1, 1))
+    bb = jnp.tile(jnp.asarray(b, jnp.float32), (B, 1))
+    basb = jnp.tile(jnp.asarray(basis, jnp.int32), (B, 1))
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(Ab, bb, basb)
+    allowed = jnp.ones((c.shape[0],), bool)
+    return cb, Ab, bb, states, allowed
+
+
+@pytest.mark.parametrize("path", ["xla", "mega", "stream"])
+def test_stall_escalation_breaks_beale_cycle(path):
+    """Dantzig provably cycles on Beale; with stall_limit the stalled lane
+    flips to Bland in-kernel and terminates OPTIMAL (SURVEY section-5
+    failure-detection plan; reference's cycle-safe default is Bland,
+    /root/reference/linprog/primal_solvers.py:135-138)."""
+    import numpy as _np
+
+    from linprog_tpu import status as st
+    from linprog_tpu.engine_batched import (
+        run_batched,
+        run_batched_pallas,
+        run_batched_stream,
+    )
+
+    cfg = SolverConfig(pricing="dantzig", stall_limit=8, refactor_every=64,
+                       kernels="pallas" if path != "xla" else "xla")
+    cb, Ab, bb, states, allowed = _beale_batch()
+    if path == "xla":
+        out = run_batched(cb, Ab, bb, states, allowed, 200, cfg)
+    elif path == "mega":
+        out = run_batched_pallas(cb, Ab, bb, states, allowed, 200, cfg)
+    else:
+        out = run_batched_stream(cb, Ab, bb, states, allowed, 200, cfg,
+                                 variant="resident", n_blk=0)
+    assert (_np.asarray(out.status) == st.OPTIMAL).all(), _np.asarray(out.status)
+    # optimal cost -0.05 at x6 = 1
+    cost = _np.einsum(
+        "bm,bm->b",
+        _np.take_along_axis(_np.asarray(cb), _np.asarray(out.basis), axis=1),
+        _np.asarray(out.bfs),
+    )
+    assert _np.allclose(cost, -0.05, atol=1e-6)
+
+
+@pytest.mark.parametrize("path", ["xla", "mega"])
+def test_stall_limit_zero_preserves_cycling(path):
+    """With stall_limit=0 the legacy behavior (cycle to the iter cap) is
+    preserved bit-for-bit -- guards against silently changing pivot paths."""
+    import numpy as _np
+
+    from linprog_tpu import status as st
+    from linprog_tpu.engine_batched import run_batched, run_batched_pallas
+
+    cfg = SolverConfig(pricing="dantzig", stall_limit=0, refactor_every=0,
+                       kernels="pallas" if path == "mega" else "xla")
+    cb, Ab, bb, states, allowed = _beale_batch()
+    run = run_batched_pallas if path == "mega" else run_batched
+    out = run(cb, Ab, bb, states, allowed, 60, cfg)
+    assert (_np.asarray(out.status) == st.RUNNING).all()
+    assert (_np.asarray(out.iters) == 60).all()

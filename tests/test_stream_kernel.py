@@ -1,0 +1,129 @@
+"""Streaming mega-kernel (HBM-resident A / VMEM-resident factors).
+
+Parity of both variants (``resident``: one DMA of A per segment;
+``stream``: per-iteration double-buffered column-block DMA) against the
+XLA batched path and the vmapped per-lane engine, in TPU interpret mode
+on CPU.  On hardware the same kernel covers m in (~384, ~1152], where the
+whole-in-VMEM kernel exceeds Mosaic's scoped-VMEM limit (reference
+capability at these sizes: plain NumPy revised simplex,
+``/root/reference/linprog/primal_solvers.py:212-263``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu import SolverConfig, engine
+from linprog_tpu import status as st
+from linprog_tpu.engine_batched import (
+    _stream_variant,
+    run_batched,
+    run_batched_stream,
+)
+from linprog_tpu.generators import random_inequality_lps, to_standard_form_batch
+
+
+def _setup(B=6, m=8, n=16, seed=5):
+    c, G, h = random_inequality_lps(B, m, n, seed=seed)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    n_std = cs.shape[1]
+    basis = jnp.broadcast_to(jnp.arange(n, n_std, dtype=jnp.int32), (B, m))
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(As, bs, basis)
+    allowed = jnp.ones((n_std,), bool)
+    return cs, As, bs, states, allowed
+
+
+@pytest.mark.parametrize("variant,n_blk", [("resident", 0), ("stream", 8)])
+@pytest.mark.parametrize("pricing", ["dantzig", "bland"])
+def test_primal_parity_vs_xla(variant, n_blk, pricing):
+    cs, As, bs, states, allowed = _setup()
+    cfg = SolverConfig(pricing=pricing, refactor_every=16)
+    ref = run_batched(cs, As, bs, states, allowed, 200,
+                      cfg.replace(kernels="xla"))
+    out = run_batched_stream(cs, As, bs, states, allowed, 200,
+                             cfg.replace(kernels="pallas"),
+                             variant=variant, n_blk=n_blk)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    np.testing.assert_allclose(
+        np.asarray(out.bfs), np.asarray(ref.bfs), atol=2e-4, rtol=2e-4
+    )
+
+
+@pytest.mark.parametrize("variant,n_blk", [("resident", 0), ("stream", 2)])
+def test_dual_parity_vs_vmapped_engine(variant, n_blk):
+    from tests.problems import DUAL_PROBLEMS
+
+    p = DUAL_PROBLEMS[0]
+    B = 4
+    scales = np.array([1.0, 2.0, 0.5, 1.5], np.float32)
+    c = jnp.tile(jnp.asarray(p.c, jnp.float32), (B, 1))
+    A = jnp.tile(jnp.asarray(p.A, jnp.float32), (B, 1, 1))
+    b = jnp.asarray(scales[:, None] * p.b[None, :], jnp.float32)
+    basis = jnp.tile(jnp.asarray(p.starting_basis, jnp.int32), (B, 1))
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    allowed = jnp.ones((c.shape[1],), bool)
+    cfg = SolverConfig(refactor_every=0)
+
+    ref = jax.vmap(
+        engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
+    )(c, A, b, states, allowed, 100, cfg.replace(kernels="xla"), "dual")
+    out = run_batched_stream(c, A, b, states, allowed, 100,
+                             cfg.replace(kernels="pallas"), mode="dual",
+                             variant=variant, n_blk=n_blk)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    np.testing.assert_allclose(
+        np.asarray(out.bfs), np.asarray(ref.bfs), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_unbounded_lane_keeps_consistent_state():
+    # one clearly unbounded lane in the batch: min -x, x - s = 1 (x free up)
+    c = jnp.asarray([[-1.0, 0.0]], jnp.float32)
+    A = jnp.asarray([[[1.0, -1.0]]], jnp.float32)
+    b = jnp.asarray([[1.0]], jnp.float32)
+    basis = jnp.asarray([[0]], jnp.int32)
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    allowed = jnp.ones((2,), bool)
+    out = run_batched_stream(c, A, b, states, allowed, 50,
+                             SolverConfig(refactor_every=0),
+                             variant="resident", n_blk=0)
+    assert int(np.asarray(out.status)[0]) == st.PRIMAL_UNBOUNDED
+    # basis must be untouched by the aborted pivot
+    assert int(np.asarray(out.basis)[0, 0]) == 0
+
+
+def test_stream_variant_dispatch():
+    # small shapes: whole-in-VMEM kernel fits, streaming not engaged
+    assert _stream_variant(64, 128) == ("resident", 0)
+    # m=512 two-phase shapes: resident streaming variant
+    assert _stream_variant(512, 1536)[0] == "resident"
+    # m=1024: A slab too big, per-iteration streaming
+    v = _stream_variant(1024, 3072)
+    assert v is not None and v[0] == "stream"
+    # far past the ceiling: no pallas variant
+    assert _stream_variant(2048, 6144) is None
+
+
+def test_run_batched_dispatches_streaming(monkeypatch):
+    """run_batched must route mid-size problems to the streaming kernel."""
+    import linprog_tpu.engine_batched as eb
+
+    called = {}
+
+    def fake_stream(c, A, b, state, allowed, maxiters, cfg, mode="primal",
+                    variant="resident", n_blk=0):
+        called["variant"] = variant
+        return state
+
+    monkeypatch.setattr(eb, "run_batched_stream", fake_stream)
+    monkeypatch.setattr(eb, "_mega_kernel_fits",
+                        lambda m, n, with_at, **kw: False)
+    cs, As, bs, states, allowed = _setup(B=2)
+    run_batched(cs, As, bs, states, allowed, 10,
+                SolverConfig(kernels="pallas"))
+    assert called["variant"] == "resident"
