@@ -126,6 +126,23 @@ def solve_batch_two_phase(
     bfs_exact = jnp.linalg.solve(B_final, b[:, :, None])[:, :, 0]
     states = states._replace(bfs=bfs_exact)
 
+    if cfg.polish_pivots > 0:
+        # double-word terminal polish: accurate repricing exposes the truly
+        # negative reduced costs f32 pricing cannot see; a few dd-guided
+        # cleanup pivots move each lane to the genuinely optimal vertex
+        from .refine import polish_batch
+
+        act = states.status == st.OPTIMAL
+        pbasis, pxB, _, pinv, _ = polish_batch(
+            c2, A1, b, states.basis, allowed2, act,
+            max_pivots=cfg.polish_pivots, pivot_tol=cfg.pivot_tol,
+        )
+        states = states._replace(
+            basis=jnp.where(act[:, None], pbasis, states.basis),
+            bfs=jnp.where(act[:, None], pxB, states.bfs),
+            inv_B=jnp.where(act[:, None, None], pinv, states.inv_B),
+        )
+
     res = _to_result(c2, states, n + m)
     # report x/cost in the structural space and the ORIGINAL scaling;
     # iters = Phase I + Phase II
@@ -136,10 +153,16 @@ def solve_batch_two_phase(
 
         x = unscale_solution(x, scaling)
         y = unscale_duals(y, scaling)
+    if cfg.polish_pivots > 0:  # compensated objective to match the polish
+        from .refine import dd_dot
+
+        cost = dd_dot(c_orig, x)
+    else:
+        cost = jnp.sum(c_orig * x, axis=1)
     return BatchResult(
         x=x,
         basis=res.basis,
-        cost=jnp.sum(c_orig * x, axis=1),
+        cost=cost,
         iters=phase1_iters + res.iters,
         status=res.status,
         y=y,

@@ -77,6 +77,13 @@ class SolverConfig:
     # the whole batch's iteration budget.  0 disables (exact legacy paths).
     # Applied in the mega-kernels and the batched XLA primal path.
     stall_limit: int = 24
+    # Terminal double-word polish (linprog_tpu.refine): after the batched
+    # two-phase solve, reduced costs are recomputed in split-float/Kahan
+    # arithmetic at the terminal basis and up to `polish_pivots` dd-guided
+    # cleanup pivots fix the near-optimal vertices f32 pricing cannot
+    # distinguish from optimal.  0 disables.  Cost: a few O(mn) passes at
+    # the end of the solve (~<10% of total).
+    polish_pivots: int = 0
     dtype: str = "float32"
     kernels: str = "xla"  # "xla" | "pallas" -- batched hot-op implementation
     # refactorization method between segments/chunks:

@@ -308,13 +308,15 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
 
 
 def _stream_variant(m: int, n: int, itemsize: int = 4,
-                    vmem_budget: int = 13 * 1024 * 1024):
+                    vmem_budget: int = 24 * 1024 * 1024):
     """Pick the streaming mega-kernel regime for (m, n), or None.
 
-    Unlike the whole-in-VMEM kernel, the streaming kernel holds its big
-    operands in manually-managed scratch (no Mosaic grid double-buffering),
-    so the estimate is direct: invBT copy + eta-update temp (~m*m) + either
-    a resident A slab or two (m, n_blk) DMA blocks + O(m+n) rows.
+    The streaming kernel holds its big operands in manually-managed scratch
+    (no Mosaic grid double-buffering): invBT copy + eta-update temp (~m*m)
+    + either a resident A slab or two (m, n_blk) DMA blocks + O(m+n) rows.
+    Mosaic's scoped allocation still runs ~4x this operand count (measured
+    21.2 MB vs a 5.3 MB estimate at m=512 two-phase shapes), so the budget
+    is the kernels' 100 MB ``vmem_limit_bytes`` divided by 4.
     Returns ``("resident" | "stream", n_blk)``.
     """
     rows = 12 * (m + n) * itemsize
@@ -408,15 +410,19 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
 
 
 def _mega_kernel_fits(m: int, n: int, with_at: bool, itemsize: int = 4,
-                      vmem_budget: int = 15 * 1024 * 1024) -> bool:
-    """Does one lane's working set fit Mosaic's 16MB scoped VMEM?
+                      vmem_budget: int = 96 * 1024 * 1024) -> bool:
+    """Does one lane's working set fit the raised scoped-VMEM cap?
 
     Calibrated against hardware: Mosaic's actual scoped allocation runs
     ~4x the naive operand estimate (grid double-buffering of every input
     block, separate aliased output buffers, and m x m body temporaries) --
     measured 27.2MB at m=512 two-phase shapes vs a 7MB operand count.
     Without A^T the entering column costs one extra O(mn) matmul per pivot
-    and the operand estimate shrinks by ~40%."""
+    and the operand estimate shrinks by ~40%.  The kernels request
+    ``vmem_limit_bytes=100MB`` of the chip's 128 MiB physical VMEM (the
+    16 MB scoped cap that used to kill the kernel at m ~= 384-512 was just
+    the compiler default), so the budget here is ~96 MB against the
+    4x-inflated estimate."""
     a_terms = (2 if with_at else 1) * m * n
     per_lane = (a_terms + m * m + 10 * (m + n)) * itemsize
     return 4 * per_lane <= vmem_budget

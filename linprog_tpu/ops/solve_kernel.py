@@ -356,6 +356,13 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         ),
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
         interpret=interpret,
+        # the default scoped-VMEM cap is 16 MB; v5e physically has 128 MiB
+        # of VMEM.  Raising the cap moves the whole-in-VMEM kernel's size
+        # cliff from m ~= 384 out to m ~= 1024 (measured need ~27.2 MB at
+        # m=512 two-phase shapes).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen,
       gamma)
     return outs

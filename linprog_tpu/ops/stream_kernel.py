@@ -402,5 +402,11 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         ],
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
         interpret=interpret,
+        # the default scoped-VMEM cap is 16 MB; v5e physically has 128 MiB
+        # of VMEM, so let Mosaic use most of it (Mosaic's scoped allocation
+        # runs ~4x the operand estimate -- body temporaries etc.)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
     return outs

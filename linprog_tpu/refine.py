@@ -1,0 +1,208 @@
+"""Double-word (split-float) terminal polish toward 1e-6 on-TPU accuracy.
+
+The f32 accuracy floor on batched TPU solves (~5e-4 relative objective at
+m=256; see docs/DESIGN.md) is NOT from solving ``B x_B = b`` at the terminal
+basis -- that is already done exactly -- it is from PRICING: the duals
+``y = c_B inv_B`` inherit ``inv_B``'s f32 error (~eps * cond(B)), so reduced
+costs carry noise large enough that the engine stops at a near-optimal
+vertex it cannot distinguish from optimal.  No amount of re-solving at that
+basis helps; the *basis* is wrong by a few pivots.
+
+The ladder implemented here (all on device, once per batch at the end):
+
+1. **Double-word products**: every operand is Dekker-split into 12-bit-
+   mantissa halves (``x = hi + lo`` with ``hi*hi`` products EXACT in f32),
+   so a matvec's partial products carry no rounding.
+2. **Chunked Kahan accumulation**: the contraction dim is summed in chunks
+   of 8 exact products (error <= 7 eps per chunk instead of ~m eps), and
+   the per-chunk partials are combined with compensated (Kahan) summation.
+   Net absolute error ~ a few eps * scale, versus ~eps * sqrt(m) * cond for
+   the plain f32 chain.
+3. **Iterative refinement** of the duals: ``y += (c_B - y B) inv_B`` with
+   the residual from (1)+(2) -- two steps push y to ~eps * scale accuracy
+   even though ``inv_B`` itself is only f32.
+4. **dd-guided pivoting**: reduced costs ``r = c - y A`` computed the same
+   way expose the truly-negative columns f32 pricing cannot see; the lane
+   executes those pivots (f32 ratio test + rank-1 eta update is plenty --
+   the pivot CHOICE was the missing precision) and re-prices, up to
+   ``polish_pivots`` times.
+
+Cost: a handful of O(mn) passes after the solve -- a few percent of total
+runtime.  Capability context: the reference runs everything in plain f32
+NumPy with a 1e-2 test tolerance (``/root/reference/tests/constants.py:1``);
+this module is what lets a TPU f32 batch meet the 1e-6-relative target the
+reference never attempted.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _split(x):
+    """Dekker split: ``x = hi + lo`` with hi carrying the top 12 mantissa
+    bits (f32) so products of two ``hi``/``lo`` parts are exact in f32."""
+    c = jnp.asarray(4097.0, x.dtype) if x.dtype == jnp.float32 else jnp.asarray(
+        float(1 << 27) + 1.0, x.dtype
+    )
+    t = x * c
+    hi = t - (t - x)
+    return hi, x - hi
+
+
+def _kahan_sum_chunks(P):
+    """Compensated sum of ``P[B, K, n]`` over K -> ``[B, n]``."""
+    K = P.shape[1]
+    s = P[:, 0]
+    comp = jnp.zeros_like(s)
+    for k in range(1, K):
+        yv = P[:, k] - comp
+        t = s + yv
+        comp = (t - s) - yv
+        s = t
+    return s
+
+
+def dd_rowmat(y, M, chunk: int = 8):
+    """High-accuracy ``y[B, m] @ M[B, m, n] -> [B, n]``.
+
+    Split products (exact) + chunk-of-``chunk`` partial sums + Kahan over
+    chunks.  Absolute error ~ a few eps * |y||M| instead of the plain-f32
+    ~eps * sqrt(m) (plus condition amplification upstream).
+    """
+    B, m, n = M.shape
+    pad = (-m) % chunk
+    if pad:
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        M = jnp.pad(M, ((0, 0), (0, pad), (0, 0)))
+        m = m + pad
+    K = m // chunk
+    yh, yl = _split(y)
+    Mh, Ml = _split(M)
+    yr = lambda v: v.reshape(B, K, chunk)
+    Mr = lambda V: V.reshape(B, K, chunk, n)
+
+    def part(u, V):
+        return jnp.einsum("bkc,bkcn->bkn", u, V, precision=_HIGHEST)
+
+    # hi*hi products are exact; cross terms are 2^-12 smaller (their own
+    # rounding is below 2^-36 of the result); lo*lo is below 2^-24 -- drop.
+    P = part(yr(yh), Mr(Mh)) + part(yr(yh), Mr(Ml)) + part(yr(yl), Mr(Mh))
+    return _kahan_sum_chunks(P)
+
+
+def dd_matvec(M, x, chunk: int = 8):
+    """High-accuracy ``M[B, m, k] @ x[B, k] -> [B, m]`` (via dd_rowmat)."""
+    return dd_rowmat(x, jnp.swapaxes(M, 1, 2), chunk=chunk)
+
+
+def dd_dot(u, v, chunk: int = 8):
+    """High-accuracy per-lane dot ``sum(u * v)`` for ``u, v [B, m]``."""
+    return dd_rowmat(u, v[:, :, None], chunk=chunk)[:, 0]
+
+
+def refine_duals(cB, Bmat, inv_B, steps: int = 2):
+    """Iteratively refined duals ``y`` solving ``y B = c_B``.
+
+    ``inv_B`` may be the drifted f32 factor -- refinement converges as long
+    as it is a contraction, and the residual is computed double-word.
+    """
+    y = jnp.einsum("bm,bmk->bk", cB, inv_B, precision=_HIGHEST)
+    for _ in range(steps):
+        s = cB - dd_rowmat(y, Bmat)
+        y = y + jnp.einsum("bm,bmk->bk", s, inv_B, precision=_HIGHEST)
+    return y
+
+
+def refine_bfs(Bmat, b, inv_B, xB, steps: int = 2):
+    """Iteratively refined ``x_B`` solving ``B x_B = b`` (dd residual)."""
+    for _ in range(steps):
+        r = b - dd_matvec(Bmat, xB)
+        xB = xB + jnp.einsum("bmk,bk->bm", inv_B, r, precision=_HIGHEST)
+    return xB
+
+
+def polish_batch(c, A, b, basis, allowed, active, *, max_pivots: int = 16,
+                 dd_tol: float = 2e-6, pivot_tol: float = 1e-9):
+    """dd-guided cleanup pivots at a terminal basis.
+
+    ``c[B, n], A[B, m, n], b[B, m], basis[B, m] i32, allowed[n] bool``
+    (columns permitted to enter -- e.g. artificials excluded),
+    ``active[B]`` bool (lanes to polish; typically ``status == OPTIMAL``).
+
+    Returns ``(basis, xB, y, inv_B, rounds)`` with ``xB`` refined at the
+    final basis, ``y`` the refined duals, and ``inv_B`` the fresh factor.
+    """
+    Bsz, m, n = A.shape
+    lanes = jnp.arange(Bsz)
+
+    def price(basis, inv_B):
+        Bmat = jnp.take_along_axis(A, basis[:, None, :], axis=2)
+        cB = jnp.take_along_axis(c, basis, axis=1)
+        y = refine_duals(cB, Bmat, inv_B)
+        r = c - dd_rowmat(y, A)
+        in_basis = jnp.zeros((Bsz, n), bool).at[
+            lanes[:, None], basis
+        ].set(True)
+        r = jnp.where(in_basis | ~allowed[None, :], jnp.inf, r)
+        return r, y, Bmat
+
+    def init_inv(basis):
+        return jnp.linalg.inv(
+            jnp.take_along_axis(A, basis[:, None, :], axis=2)
+        )
+
+    inv_B0 = init_inv(basis)
+
+    def cond(carry):
+        basis, inv_B, act, k = carry
+        return jnp.any(act) & (k < max_pivots)
+
+    def body(carry):
+        basis, inv_B, act, k = carry
+        r, y, _ = price(basis, inv_B)
+        enter = jnp.argmin(r, axis=1)
+        r_min = jnp.take_along_axis(r, enter[:, None], axis=1)[:, 0]
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(c), axis=1))
+        go = act & (r_min < -dd_tol * scale)
+
+        acol = jnp.take_along_axis(A, enter[:, None, None], axis=2)[:, :, 0]
+        d = jnp.einsum("bmk,bk->bm", inv_B, acol, precision=_HIGHEST)
+        xB = jnp.einsum("bmk,bk->bm", inv_B, b, precision=_HIGHEST)
+        pos = d > pivot_tol
+        any_pos = jnp.any(pos, axis=1)
+        go = go & any_pos  # no positive direction: leave the lane alone
+        theta = jnp.where(pos, xB / jnp.where(pos, d, 1.0), jnp.inf)
+        leave = jnp.argmin(theta, axis=1)
+
+        d_l = jnp.take_along_axis(d, leave[:, None], axis=1)[:, 0]
+        safe = jnp.where(d_l == 0, 1.0, d_l)
+        u = -d / safe[:, None]
+        u = u.at[lanes, leave].set(1.0 / safe - 1.0)
+        u = jnp.where(go[:, None], u, 0.0)
+        row = jnp.take_along_axis(inv_B, leave[:, None, None], axis=1)
+        inv_B = inv_B + u[:, :, None] * row
+        basis = jnp.where(
+            go[:, None],
+            basis.at[lanes, leave].set(enter.astype(jnp.int32)),
+            basis,
+        )
+        return basis, inv_B, go, k + jnp.any(go).astype(jnp.int32)
+
+    k0 = jnp.zeros((), jnp.int32)
+    basis, inv_B, _, k = lax.while_loop(
+        cond, body, (basis, inv_B0, active, k0)
+    )
+
+    # final exact factor + refined solution/duals at the settled basis
+    Bmat = jnp.take_along_axis(A, basis[:, None, :], axis=2)
+    inv_B = jnp.linalg.inv(Bmat)
+    xB = jnp.einsum("bmk,bk->bm", inv_B, b, precision=_HIGHEST)
+    xB = refine_bfs(Bmat, b, inv_B, xB, steps=2)
+    cB = jnp.take_along_axis(c, basis, axis=1)
+    y = refine_duals(cB, Bmat, inv_B)
+    return basis, xB, y, inv_B, k

@@ -98,12 +98,15 @@ def test_unbounded_lane_keeps_consistent_state():
 
 
 def test_stream_variant_dispatch():
-    # small shapes: whole-in-VMEM kernel fits, streaming not engaged
+    # small / mid shapes fit the resident variant under the raised
+    # 100 MB vmem_limit (24 MB raw-operand budget after the measured 4x
+    # Mosaic inflation)
     assert _stream_variant(64, 128) == ("resident", 0)
-    # m=512 two-phase shapes: resident streaming variant
     assert _stream_variant(512, 1536)[0] == "resident"
-    # m=1024: A slab too big, per-iteration streaming
-    v = _stream_variant(1024, 3072)
+    assert _stream_variant(1024, 3072)[0] == "resident"
+    # m ~= 1400: A slab too big even single-buffered -> per-iteration
+    # streaming in (m, n_blk) blocks
+    v = _stream_variant(1400, 4224)
     assert v is not None and v[0] == "stream"
     # far past the ceiling: no pallas variant
     assert _stream_variant(2048, 6144) is None
