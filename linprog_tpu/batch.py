@@ -124,7 +124,14 @@ def solve_batch_two_phase(
     # ~1-2 orders of magnitude for ~0.2s per 1024x256 batch.
     B_final = jnp.take_along_axis(A1, states.basis[:, None, :], axis=2)
     bfs_exact = jnp.linalg.solve(B_final, b[:, :, None])[:, :, 0]
-    states = states._replace(bfs=bfs_exact)
+    ok = jnp.all(jnp.isfinite(bfs_exact), axis=1)
+    states = states._replace(
+        bfs=jnp.where(ok[:, None], bfs_exact, states.bfs),
+        # a numerically singular terminal basis must not read as OPTIMAL
+        status=jnp.where(
+            ok, states.status, st.NUMERICAL_ERROR
+        ).astype(jnp.int32),
+    )
 
     if cfg.polish_pivots > 0:
         # double-word terminal polish: accurate repricing exposes the truly

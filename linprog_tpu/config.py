@@ -64,7 +64,14 @@ class SolverConfig:
 
     opt_tol: float = 1e-6
     feas_tol: float = 1e-6
-    pivot_tol: float = 1e-9
+    # 1e-7 (not the reference's divide-by-anything-positive): in f32 a
+    # pivot element of ~1e-9-1e-8 -- reachable via refactorization noise on
+    # degenerate instances -- sends the basis condition number past 1/eps,
+    # the next refactorization inverts a numerically singular matrix, and
+    # NaN pricing silently reads as "optimal" (caught by the structured
+    # covering instance; see also the non-finite-factor guards in
+    # engine_batched).
+    pivot_tol: float = 1e-7
     update: str = "eta"
     pricing: str = "bland"
     refactor_every: int = 0

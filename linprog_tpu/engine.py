@@ -299,7 +299,11 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     pos = d > cfg.pivot_tol
     unbounded = any_elig & ~jnp.any(pos)
 
-    theta = jnp.where(pos, state.bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf)
+    # bfs clamped at 0: refactorization can leave ~-1e-7 noise on degenerate
+    # basics, and a negative ratio would hijack the argmin toward rows with
+    # tiny pivot elements (numerically singular bases)
+    bfs_nn = jnp.maximum(state.bfs, 0.0)
+    theta = jnp.where(pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf)
     leave = jnp.argmin(theta)  # first-min == Bland tie-break, matches np.argmin
 
     do_pivot = any_elig & ~unbounded

@@ -88,7 +88,9 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
         d = jnp.einsum("bmk,bk->bm", state.inv_B, acol)
         pos = d > cfg.pivot_tol
         any_pos = jnp.any(pos, axis=1)
-        theta = jnp.where(pos, state.bfs / jnp.where(pos, d, 1.0), jnp.inf)
+        # clamp refactorization noise (see engine.primal_step)
+        bfs_nn = jnp.maximum(state.bfs, 0.0)
+        theta = jnp.where(pos, bfs_nn / jnp.where(pos, d, 1.0), jnp.inf)
         leave = jnp.argmin(theta, axis=1)
         go = running & eligible & any_pos
         d_l = jnp.take_along_axis(d, leave[:, None], axis=1)[:, 0]
@@ -125,6 +127,19 @@ def batched_refactorize(A, b, state: SimplexState) -> SimplexState:
     )
     bfs = jnp.einsum("bmk,bk->bm", inv_B, b)
     return state._replace(inv_B=inv_B, bfs=bfs)
+
+
+def _finite_lanes(inv_B, bfs):
+    """bool[B]: lanes whose refreshed factors are all finite.
+
+    A numerically singular basis (e.g. after a too-small pivot element)
+    inverts to inf/NaN; without this guard the NaNs poison pricing and the
+    lane silently reads as OPTIMAL.  Such lanes are frozen as
+    NUMERICAL_ERROR instead (failure-detection surface, SURVEY section 5).
+    """
+    return jnp.all(jnp.isfinite(inv_B), axis=(1, 2)) & jnp.all(
+        jnp.isfinite(bfs), axis=1
+    )
 
 
 def newton_schulz_refine(A, b, basis, inv_B, steps: int = 2,
@@ -250,10 +265,15 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
                     jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
                 )
                 fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)
+            ok = _finite_lanes(inv, fresh_bfs)
             fresh_bfs = fresh_bfs[:, None, :]
-            run = (status[:, 0, 0] == st.RUNNING)[:, None, None]
-            invBT = jnp.where(run, jnp.swapaxes(inv, 1, 2), invBT)
-            bfs = jnp.where(run, fresh_bfs, bfs)
+            run = status[:, 0, 0] == st.RUNNING
+            status = jnp.where(
+                (run & ~ok)[:, None, None], st.NUMERICAL_ERROR, status
+            ).astype(jnp.int32)
+            take = (run & ok)[:, None, None]
+            invBT = jnp.where(take, jnp.swapaxes(inv, 1, 2), invBT)
+            bfs = jnp.where(take, fresh_bfs, bfs)
             # devex weights reset to the fresh reference framework
             return (invBT, bfs, cB, basis, pen, jnp.ones_like(gamma),
                     iters, status)
@@ -389,9 +409,14 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
                 jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
             )
             fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)
-        run = (status[:, 0, 0] == st.RUNNING)[:, None, None]
-        invBT = jnp.where(run, jnp.swapaxes(inv, 1, 2), invBT)
-        bfs = jnp.where(run, fresh_bfs[:, None, :], bfs)
+        ok = _finite_lanes(inv, fresh_bfs)
+        run = status[:, 0, 0] == st.RUNNING
+        status = jnp.where(
+            (run & ~ok)[:, None, None], st.NUMERICAL_ERROR, status
+        ).astype(jnp.int32)
+        take = (run & ok)[:, None, None]
+        invBT = jnp.where(take, jnp.swapaxes(inv, 1, 2), invBT)
+        bfs = jnp.where(take, fresh_bfs[:, None, :], bfs)
         return (invBT, bfs, cB, basis, pen, iters, status)
 
     carry = (invBT, bfs, cB, basis, pen, iters, status)
@@ -410,7 +435,7 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
 
 
 def _mega_kernel_fits(m: int, n: int, with_at: bool, itemsize: int = 4,
-                      vmem_budget: int = 96 * 1024 * 1024) -> bool:
+                      vmem_budget: int = 64 * 1024 * 1024) -> bool:
     """Does one lane's working set fit the raised scoped-VMEM cap?
 
     Calibrated against hardware: Mosaic's actual scoped allocation runs
@@ -421,8 +446,11 @@ def _mega_kernel_fits(m: int, n: int, with_at: bool, itemsize: int = 4,
     and the operand estimate shrinks by ~40%.  The kernels request
     ``vmem_limit_bytes=100MB`` of the chip's 128 MiB physical VMEM (the
     16 MB scoped cap that used to kill the kernel at m ~= 384-512 was just
-    the compiler default), so the budget here is ~96 MB against the
-    4x-inflated estimate."""
+    the compiler default).  The budget is held at 64 MB against the
+    4x-inflated estimate because the inflation itself grows with m
+    (measured 6.3x at m=1024, where the no-AT estimate said 67 MB but
+    Mosaic asked for 107 MB); past this budget the streaming kernel's
+    manually-managed scratch is the safer and leaner choice."""
     a_terms = (2 if with_at else 1) * m * n
     per_lane = (a_terms + m * m + 10 * (m + n)) * itemsize
     return 4 * per_lane <= vmem_budget
@@ -506,10 +534,17 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             )
             ss = carry[0]
             fresh = batched_refactorize(A, b, ss)
-            run = (ss.status == st.RUNNING)[:, None]
-            inv_B = jnp.where(run[..., None], fresh.inv_B, ss.inv_B)
-            bfs = jnp.where(run, fresh.bfs, ss.bfs)
-            return (ss._replace(inv_B=inv_B, bfs=bfs),) + carry[1:]
+            ok = _finite_lanes(fresh.inv_B, fresh.bfs)
+            run = ss.status == st.RUNNING
+            status = jnp.where(
+                run & ~ok, st.NUMERICAL_ERROR, ss.status
+            ).astype(jnp.int32)
+            take = (run & ok)[:, None]
+            inv_B = jnp.where(take[..., None], fresh.inv_B, ss.inv_B)
+            bfs = jnp.where(take, fresh.bfs, ss.bfs)
+            return (
+                ss._replace(inv_B=inv_B, bfs=bfs, status=status),
+            ) + carry[1:]
 
         return lax.while_loop(any_running, outer_body, (state,) + aux0)[0]
     return lax.while_loop(

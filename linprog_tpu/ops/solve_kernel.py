@@ -202,8 +202,11 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
             pos = d > pivot_tol
             any_pos = jnp.any(pos)
+            # bfs clamped at 0: refactorization noise on degenerate basics
+            # must not produce negative ratios (see engine.primal_step)
+            bfs_nn = jnp.maximum(bfs, 0.0)
             theta = jnp.where(
-                pos, bfs / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
+                pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
             )
             best_t = jnp.min(theta)
             leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))

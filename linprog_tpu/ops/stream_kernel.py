@@ -248,8 +248,10 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         if not dual:
             pos = d > pivot_tol
             any_pos = jnp.any(pos)
+            # bfs clamped at 0 (refactorization noise; see engine.primal_step)
+            bfs_nn = jnp.maximum(bfs_ref[0], 0.0)
             theta = jnp.where(
-                pos, bfs_ref[0] / jnp.where(pos, d, jnp.ones_like(d)),
+                pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)),
                 jnp.inf,
             )
             best_t = jnp.min(theta)
