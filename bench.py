@@ -1,4 +1,4 @@
-"""Benchmark: batched dense random LPs (m=n=256) on TPU vs single-core HiGHS.
+"""Benchmark: batched dense random LPs on TPU vs single-core HiGHS.
 
 BASELINE.json headline config: "batched random dense LPs m=n=256 x10k,
 vmapped and sharded across v5e-8", target >= 50x single-core SciPy HiGHS
@@ -9,45 +9,27 @@ throughput.  Prints ONE JSON line:
 the same instance distribution.  Instances are generated ON DEVICE (only a
 PRNG key crosses the host<->device link); a sample is read back and
 cross-checked against the HiGHS oracle.  Extra keys document pivots/sec,
-correctness, and lane-status counts.
+correctness, lane-status counts, and (round 2+) the m=512 / m=1024
+datapoints served by the raised-VMEM mega-kernel and the streaming kernel.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--m", type=int, default=256)
-    ap.add_argument("--n", type=int, default=256)
-    ap.add_argument("--chunk", type=int, default=1024, help="lanes per device batch")
-    ap.add_argument("--chunks", type=int, default=10, help="number of batches")
-    ap.add_argument("--maxiters", type=int, default=2000)
-    ap.add_argument("--highs-samples", type=int, default=8)
-    ap.add_argument("--quick", action="store_true", help="small fast run")
-    args = ap.parse_args()
-    if args.quick:
-        args.chunk, args.chunks, args.m, args.n = 256, 2, 64, 64
 
-    import jax
-    import jax.numpy as jnp
-
+def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
     from linprog_tpu.batch import batch_summary, solve_batch_two_phase
-    from linprog_tpu.config import SolverConfig
     from linprog_tpu.generators import (
         device_inequality_lps,
         device_standard_form_batch,
     )
-
-    cfg = SolverConfig(
-        pricing="dantzig", refactor_every=192, kernels="pallas",
-        refactor_method="inv",
-    )
-    m, n, chunk = args.m, args.n, args.chunk
 
     @jax.jit
     def gen(key):
@@ -57,10 +39,10 @@ def main():
 
     def run(key):
         (c, G, h), (cs, As, bs) = gen(key)
-        res = solve_batch_two_phase(cs, As, bs, args.maxiters, args.maxiters, cfg)
+        res = solve_batch_two_phase(cs, As, bs, maxiters, maxiters, cfg)
         return (c, G, h), res
 
-    keys = jax.random.split(jax.random.PRNGKey(0), args.chunks)
+    keys = jax.random.split(jax.random.PRNGKey(0), chunks)
 
     # warm-up/compile (excluded from timing)
     (c0, G0, h0), res0 = run(keys[0])
@@ -75,7 +57,7 @@ def main():
         total_pivots += s["total_pivots"]
         statuses.append(s)
     wall = time.time() - t0
-    total_lps = args.chunks * chunk
+    total_lps = chunks * chunk
     lps_per_sec = total_lps / wall
     pivots_per_sec = total_pivots / wall
 
@@ -83,7 +65,7 @@ def main():
     try:
         from scipy.optimize import linprog as scipy_linprog
 
-        k = args.highs_samples
+        k = highs_samples
         c_s = np.asarray(c0[:k])
         G_s = np.asarray(G0[:k])
         h_s = np.asarray(h0[:k])
@@ -110,27 +92,85 @@ def main():
         "infeasible": sum(s["infeasible"] for s in statuses),
         "unbounded": sum(s["unbounded"] for s in statuses),
         "iter_limit": sum(s["iter_limit"] for s in statuses),
+        "numerical_error": sum(s.get("numerical_error", 0) for s in statuses),
     }
     vs_baseline = (
         lps_per_sec / highs_lps if np.isfinite(highs_lps) else float("nan")
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"batched_lps_per_sec_m{m}_n{n}",
-                "value": round(lps_per_sec, 2),
-                "unit": "LPs/s/chip",
-                "vs_baseline": round(vs_baseline, 2),
-                "pivots_per_sec_per_chip": round(pivots_per_sec, 1),
-                "total_lps": total_lps,
-                "wall_sec": round(wall, 3),
-                "highs_single_core_lps_per_sec": round(highs_lps, 4),
-                "max_rel_gap_vs_highs": float(f"{max_gap:.3e}"),
-                "lane_status": agg,
-                "device": str(jax.devices()[0]),
-            }
-        )
+    return {
+        "lps_per_sec": round(lps_per_sec, 2),
+        "vs_baseline": round(vs_baseline, 2),
+        "pivots_per_sec": round(pivots_per_sec, 1),
+        "total_lps": total_lps,
+        "wall_sec": round(wall, 3),
+        "highs_single_core_lps_per_sec": round(highs_lps, 4),
+        "max_rel_gap_vs_highs": float(f"{max_gap:.3e}"),
+        "lane_status": agg,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=1024, help="lanes per device batch")
+    ap.add_argument("--chunks", type=int, default=10, help="number of batches")
+    ap.add_argument("--maxiters", type=int, default=2000)
+    ap.add_argument("--highs-samples", type=int, default=8)
+    ap.add_argument("--quick", action="store_true", help="small fast run")
+    ap.add_argument(
+        "--sizes", default="512,1024",
+        help="comma-separated extra m(=n) datapoints ('' to skip)",
     )
+    args = ap.parse_args()
+    if args.quick:
+        args.chunk, args.chunks, args.m, args.n = 256, 2, 64, 64
+        args.sizes = ""
+
+    import jax
+
+    from linprog_tpu.config import SolverConfig
+
+    cfg = SolverConfig(
+        pricing="dantzig", refactor_every=192, kernels="pallas",
+        refactor_method="inv", polish_pivots=8,
+    )
+
+    head = run_size(jax, args.m, args.n, args.chunk, args.chunks,
+                    args.maxiters, cfg, args.highs_samples)
+
+    extras = {}
+    # extra size datapoints: mega-kernel at m=512 (raised VMEM cap),
+    # streaming kernel (resident variant) at m=1024
+    size_cfg = {
+        512: dict(chunk=64, chunks=2, maxiters=4000, highs_samples=2),
+        1024: dict(chunk=32, chunks=1, maxiters=6000, highs_samples=1),
+    }
+    for tok in filter(None, args.sizes.split(",")):
+        m = int(tok)
+        sc = size_cfg.get(m, dict(chunk=32, chunks=1, maxiters=6000,
+                                  highs_samples=1))
+        extras[f"m{m}"] = run_size(
+            jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"], cfg,
+            sc["highs_samples"],
+        )
+
+    out = {
+        "metric": f"batched_lps_per_sec_m{args.m}_n{args.n}",
+        "value": head["lps_per_sec"],
+        "unit": "LPs/s/chip",
+        "vs_baseline": head["vs_baseline"],
+        "pivots_per_sec_per_chip": head["pivots_per_sec"],
+        "total_lps": head["total_lps"],
+        "wall_sec": head["wall_sec"],
+        "highs_single_core_lps_per_sec": head["highs_single_core_lps_per_sec"],
+        "max_rel_gap_vs_highs": head["max_rel_gap_vs_highs"],
+        "lane_status": head["lane_status"],
+        "device": str(jax.devices()[0]),
+    }
+    for k, v in extras.items():
+        out[k] = v
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

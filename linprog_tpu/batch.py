@@ -143,6 +143,7 @@ def solve_batch_two_phase(
         pbasis, pxB, _, pinv, _ = polish_batch(
             c2, A1, b, states.basis, allowed2, act,
             max_pivots=cfg.polish_pivots, pivot_tol=cfg.pivot_tol,
+            inv_B=states.inv_B,
         )
         states = states._replace(
             basis=jnp.where(act[:, None], pbasis, states.basis),

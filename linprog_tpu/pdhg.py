@@ -63,10 +63,20 @@ class PDHGConfig:
     eps_rel: float = 1e-4
     maxiters: int = 100_000
     check_every: int = 64
-    restart_every: int = 512
+    restart_every: int = 512  # backstop cadence (adaptive restart may fire earlier)
     power_iters: int = 30
     omega: float = 1.0  # primal weight: tau = omega/||K||, sigma = 1/(omega ||K||)
     dtype: str = "float32"
+    # PDLP-style adaptivity (round 2): restart to the better of
+    # current/average iterate when its KKT score decayed by restart_beta
+    # since the last restart; primal weight omega re-estimated from
+    # ||dy||/||dx|| over the epoch.  Infeasibility certificates extracted
+    # from the normalized epoch movement direction with tolerance
+    # eps_infeas.  Set adaptive=False for the fixed-cadence round-1 scheme.
+    adaptive: bool = True
+    restart_beta: float = 0.4
+    eps_infeas: float = 1e-6
+    omega_clip: float = 64.0  # omega confined to [1/clip, clip]
 
     @property
     def jnp_dtype(self):
@@ -84,6 +94,10 @@ class PDHGState(NamedTuple):
     inner_count: jax.Array  # iterations since last restart
     iters: jax.Array
     status: jax.Array
+    omega: jax.Array  # [] primal weight (adapted at restarts)
+    x_anchor: jax.Array  # [n] iterate at last restart (epoch movement /
+    y_anchor: jax.Array  # [m]  certificate direction / omega adaptation)
+    last_score: jax.Array  # [] KKT score at last restart
 
 
 def _estimate_norm(K, iters: int, seed: int = 0):
@@ -137,8 +151,8 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
     is_ineq = (jnp.arange(m) >= n_eq)
     norm_K = _estimate_norm(K, cfg.power_iters)
     norm_K = jnp.maximum(norm_K, 1e-12)
-    tau = cfg.omega / norm_K
-    sigma = 1.0 / (cfg.omega * norm_K)
+    finite_lb = jnp.isfinite(lb)
+    finite_ub = jnp.isfinite(ub)
 
     def project_x(x):
         return jnp.clip(x, lb, ub)
@@ -148,6 +162,8 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
 
     def step(state: PDHGState) -> PDHGState:
         x, y = state.x, state.y
+        tau = state.omega / norm_K
+        sigma = 1.0 / (state.omega * norm_K)
         x_new = project_x(x - tau * (c + _mv(K.T, y)))
         y_new = project_y(y + sigma * (_mv(K, 2.0 * x_new - x) - q))
         return state._replace(
@@ -159,26 +175,135 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
             iters=state.iters + 1,
         )
 
-    def maybe_restart(state: PDHGState) -> PDHGState:
+    def kkt_score(x, y):
+        pr, du, gap = _kkt_residuals(c, K, q, n_eq, lb, ub, x, y)
+        return pr, du, gap, jnp.sqrt(pr * pr + du * du + gap * gap)
+
+    def _certificates(state: PDHGState):
+        """Infeasibility certificates from the epoch movement direction.
+
+        On infeasible/unbounded instances the PDHG iterates diverge along a
+        ray; the normalized movement since the last restart converges to a
+        Farkas certificate (PDLP's detection scheme).
+        """
+        tiny = jnp.asarray(1e-30, K.dtype)
+        eps = cfg.eps_infeas
+        # ---- dual ray => primal infeasible --------------------------------
+        dy = state.y - state.y_anchor
+        ny = jnp.linalg.norm(dy)
+        yhat = project_y(dy / jnp.maximum(ny, tiny))
+        lam = _mv(K.T, yhat)  # homogeneous reduced costs
+        lam_plus = jnp.maximum(lam, 0.0)
+        lam_minus = jnp.minimum(lam, 0.0)
+        # components not absorbable by a finite bound must vanish
+        infeas_res = jnp.linalg.norm(
+            jnp.where(finite_lb, 0.0, lam_plus)
+            + jnp.where(finite_ub, 0.0, lam_minus)
+        )
+        rayval = -q @ yhat + jnp.sum(
+            jnp.where(finite_lb, lam_plus * lb, 0.0)
+            + jnp.where(finite_ub, lam_minus * ub, 0.0)
+        )
+        primal_infeas = (
+            (ny > 1.0)  # genuinely diverging, not noise
+            & (infeas_res <= eps * (1.0 + jnp.linalg.norm(yhat)))
+            & (rayval > eps)
+        )
+        # ---- primal ray => primal unbounded (dual infeasible) -------------
+        dx = state.x - state.x_anchor
+        nx = jnp.linalg.norm(dx)
+        xhat = dx / jnp.maximum(nx, tiny)
+        # recession cone of [lb, ub]
+        xhat = jnp.where(finite_lb, jnp.maximum(xhat, 0.0), xhat)
+        xhat = jnp.where(finite_ub, jnp.minimum(xhat, 0.0), xhat)
+        Kx = _mv(K, xhat)
+        ray_res = jnp.linalg.norm(
+            jnp.where(is_ineq, jnp.maximum(Kx, 0.0), Kx)
+        )
+        unbounded = (
+            (nx > 1.0)
+            & (ray_res <= eps * (1.0 + jnp.linalg.norm(xhat)))
+            & ((c @ xhat) < -eps)
+        )
+        return primal_infeas, unbounded
+
+    def check_and_restart(state: PDHGState) -> PDHGState:
         cnt = jnp.maximum(state.inner_count, 1)
-        do = state.inner_count >= cfg.restart_every
         x_avg = state.x_sum / cnt
         y_avg = state.y_sum / cnt
-        return state._replace(
-            x=jnp.where(do, x_avg, state.x),
-            y=jnp.where(do, y_avg, state.y),
-            x_sum=jnp.where(do, jnp.zeros_like(x_avg), state.x_sum),
-            y_sum=jnp.where(do, jnp.zeros_like(y_avg), state.y_sum),
-            inner_count=jnp.where(do, 0, state.inner_count),
-        )
+        pr_c, du_c, gap_c, s_cur = kkt_score(state.x, state.y)
+        pr_a, du_a, gap_a, s_avg = kkt_score(x_avg, y_avg)
 
-    def check(state: PDHGState) -> PDHGState:
-        pr, du, gap = _kkt_residuals(c, K, q, n_eq, lb, ub, state.x, state.y)
-        ok = (pr < cfg.eps_rel) & (du < cfg.eps_rel) & (gap < cfg.eps_rel)
-        status = jnp.where(
-            ok & (state.status == st.RUNNING), st.OPTIMAL, state.status
+        # terminate on whichever iterate satisfies the tolerance
+        ok_cur = (pr_c < cfg.eps_rel) & (du_c < cfg.eps_rel) & (
+            gap_c < cfg.eps_rel
         )
-        return state._replace(status=jnp.asarray(status, jnp.int32))
+        ok_avg = (pr_a < cfg.eps_rel) & (du_a < cfg.eps_rel) & (
+            gap_a < cfg.eps_rel
+        )
+        adopt_avg_final = ok_avg & ~ok_cur
+        ok = ok_cur | ok_avg
+
+        if cfg.adaptive:
+            infeas, unbnd = _certificates(state)
+        else:
+            infeas = unbnd = jnp.zeros((), bool)
+        running = state.status == st.RUNNING
+        status = jnp.where(
+            running & ok,
+            st.OPTIMAL,
+            jnp.where(
+                running & infeas,
+                st.PRIMAL_INFEASIBLE,
+                jnp.where(running & unbnd, st.PRIMAL_UNBOUNDED, state.status),
+            ),
+        ).astype(jnp.int32)
+
+        # ---- restart decision --------------------------------------------
+        avg_better = s_avg < s_cur
+        s_cand = jnp.minimum(s_avg, s_cur)
+        if cfg.adaptive:
+            do = (s_cand <= cfg.restart_beta * state.last_score) | (
+                state.inner_count >= cfg.restart_every
+            )
+        else:
+            do = state.inner_count >= cfg.restart_every
+        do = do & running & ~ok
+        x_new = jnp.where(do & avg_better, x_avg, state.x)
+        y_new = jnp.where(do & avg_better, y_avg, state.y)
+
+        # ---- primal weight adaptation (PDLP: log-space smoothing) --------
+        if cfg.adaptive:
+            dxn = jnp.linalg.norm(x_new - state.x_anchor)
+            dyn = jnp.linalg.norm(y_new - state.y_anchor)
+            both = (dxn > 1e-12) & (dyn > 1e-12)
+            ratio = jnp.where(both, dyn / jnp.maximum(dxn, 1e-30), 1.0)
+            omega_prop = jnp.exp(
+                0.5 * jnp.log(ratio) + 0.5 * jnp.log(state.omega)
+            )
+            omega_prop = jnp.clip(
+                omega_prop, 1.0 / cfg.omega_clip, cfg.omega_clip
+            )
+            omega = jnp.where(do & both, omega_prop, state.omega)
+        else:
+            omega = state.omega
+
+        zx = jnp.zeros_like(state.x_sum)
+        zy = jnp.zeros_like(state.y_sum)
+        final_x = jnp.where(adopt_avg_final, x_avg, x_new)
+        final_y = jnp.where(adopt_avg_final, y_avg, y_new)
+        return state._replace(
+            x=final_x,
+            y=final_y,
+            x_sum=jnp.where(do, zx, state.x_sum),
+            y_sum=jnp.where(do, zy, state.y_sum),
+            inner_count=jnp.where(do, 0, state.inner_count),
+            status=status,
+            omega=omega,
+            x_anchor=jnp.where(do, final_x, state.x_anchor),
+            y_anchor=jnp.where(do, final_y, state.y_anchor),
+            last_score=jnp.where(do, s_cand, state.last_score),
+        )
 
     def init_state() -> PDHGState:
         x0 = project_x(jnp.zeros(n, K.dtype))
@@ -190,6 +315,10 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
             inner_count=jnp.zeros((), jnp.int32),
             iters=jnp.zeros((), jnp.int32),
             status=jnp.zeros((), jnp.int32),
+            omega=jnp.asarray(cfg.omega, K.dtype),
+            x_anchor=x0,
+            y_anchor=jnp.zeros(m, K.dtype),
+            last_score=jnp.asarray(jnp.inf, K.dtype),
         )
 
     def run(state: PDHGState, maxiters) -> PDHGState:
@@ -200,8 +329,7 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
 
         def body(s):
             s = lax.fori_loop(0, cfg.check_every, lambda _, t: step(t), s)
-            s = maybe_restart(s)
-            return check(s)
+            return check_and_restart(s)
 
         return lax.while_loop(cond, body, state)
 
@@ -268,6 +396,7 @@ class PDHGSolver:
             self.c, self.K, self.q, self.n_eq, self.lb, self.ub,
             jnp.asarray(maxiters, jnp.int32), self.config,
         )
+        self._state = state
         x = np.asarray(state.x)
         code = int(state.status)
         return LinProgResult(
@@ -277,11 +406,15 @@ class PDHGSolver:
             iters=int(state.iters),
             optimum=code == st.OPTIMAL,
             status=code if code != st.RUNNING else st.ITER_LIMIT,
+            y=np.asarray(state.y),
         )
 
     @property
     def duals(self) -> np.ndarray:
-        raise AttributeError("solve first; duals are part of the result state")
+        """Dual iterate ``y`` (eq rows first, then ineq rows); solve first."""
+        if not hasattr(self, "_state"):
+            raise AttributeError("call solve() first")
+        return np.asarray(self._state.y)
 
 
 def pdhg_solve_batch(c, K, q, n_eq: int, lb, ub, maxiters: int = 100_000,

@@ -127,15 +127,20 @@ def refine_bfs(Bmat, b, inv_B, xB, steps: int = 2):
 
 
 def polish_batch(c, A, b, basis, allowed, active, *, max_pivots: int = 16,
-                 dd_tol: float = 2e-6, pivot_tol: float = 1e-9):
+                 dd_tol: float = 2e-6, pivot_tol: float = 1e-9,
+                 inv_B=None):
     """dd-guided cleanup pivots at a terminal basis.
 
     ``c[B, n], A[B, m, n], b[B, m], basis[B, m] i32, allowed[n] bool``
     (columns permitted to enter -- e.g. artificials excluded),
     ``active[B]`` bool (lanes to polish; typically ``status == OPTIMAL``).
+    ``inv_B`` may pass the engine's running (possibly eta-drifted) factor
+    -- iterative refinement only needs a contraction, so this skips two
+    O(B m^3) batched inversions and keeps the polish at a few O(mn)
+    passes.
 
     Returns ``(basis, xB, y, inv_B, rounds)`` with ``xB`` refined at the
-    final basis, ``y`` the refined duals, and ``inv_B`` the fresh factor.
+    final basis, ``y`` the refined duals, and ``inv_B`` the running factor.
     """
     Bsz, m, n = A.shape
     lanes = jnp.arange(Bsz)
@@ -151,12 +156,12 @@ def polish_batch(c, A, b, basis, allowed, active, *, max_pivots: int = 16,
         r = jnp.where(in_basis | ~allowed[None, :], jnp.inf, r)
         return r, y, Bmat
 
-    def init_inv(basis):
-        return jnp.linalg.inv(
+    if inv_B is None:
+        inv_B0 = jnp.linalg.inv(
             jnp.take_along_axis(A, basis[:, None, :], axis=2)
         )
-
-    inv_B0 = init_inv(basis)
+    else:
+        inv_B0 = inv_B
 
     def cond(carry):
         basis, inv_B, act, k = carry
@@ -198,11 +203,12 @@ def polish_batch(c, A, b, basis, allowed, active, *, max_pivots: int = 16,
         cond, body, (basis, inv_B0, active, k0)
     )
 
-    # final exact factor + refined solution/duals at the settled basis
+    # refined solution/duals at the settled basis; the running factor is
+    # accurate enough as a refinement preconditioner (dd residuals supply
+    # the precision)
     Bmat = jnp.take_along_axis(A, basis[:, None, :], axis=2)
-    inv_B = jnp.linalg.inv(Bmat)
     xB = jnp.einsum("bmk,bk->bm", inv_B, b, precision=_HIGHEST)
-    xB = refine_bfs(Bmat, b, inv_B, xB, steps=2)
+    xB = refine_bfs(Bmat, b, inv_B, xB, steps=3)
     cB = jnp.take_along_axis(c, basis, axis=1)
     y = refine_duals(cB, Bmat, inv_B)
     return basis, xB, y, inv_B, k

@@ -123,3 +123,57 @@ def test_sparse_pdhg_matches_dense():
     )
     assert ref.status == 0
     assert res.cost == pytest.approx(ref.fun, abs=1e-3)
+
+
+def test_pdhg_detects_primal_infeasible():
+    # x1 + x2 = 2 and x1 + x2 <= 1 with x >= 0: infeasible
+    cfg = PDHGConfig(eps_rel=1e-6, maxiters=20000)
+    s = PDHGSolver(
+        np.array([1.0, 1.0]),
+        A=np.array([[1.0, 1.0]]), b=np.array([2.0]),
+        G=np.array([[1.0, 1.0]]), h=np.array([1.0]),
+        config=cfg,
+    )
+    res = s.solve()
+    assert res.status == st.PRIMAL_INFEASIBLE, res.status
+
+
+def test_pdhg_detects_unbounded():
+    # min -x1, x1 - x2 <= 1, x >= 0: ray (1, 1) drives cost to -inf
+    cfg = PDHGConfig(eps_rel=1e-6, maxiters=20000)
+    s = PDHGSolver(
+        np.array([-1.0, 0.0]),
+        G=np.array([[1.0, -1.0]]), h=np.array([1.0]),
+        config=cfg,
+    )
+    res = s.solve()
+    assert res.status == st.PRIMAL_UNBOUNDED, res.status
+
+
+def test_pdhg_duals_property():
+    s = PDHGSolver(
+        np.array([-1.0, -2.0]),
+        G=np.array([[1.0, 1.0], [0.0, 1.0]]), h=np.array([4.0, 2.0]),
+    )
+    res = s.solve()
+    assert res.optimum
+    y = s.duals
+    assert y.shape == (2,)
+    # KKT stationarity: c + G'y ~ 0 on the active coordinates (x > 0)
+    lam = np.array([-1.0, -2.0]) + np.array([[1.0, 0.0], [1.0, 1.0]]) @ y
+    assert np.all(lam > -1e-3)
+
+
+def test_pdhg_adaptive_not_slower_than_fixed():
+    """Adaptive restarts must solve the textbook instance in no more
+    iterations (commonly far fewer) than the fixed-cadence scheme."""
+    c = np.array([-1.0, -2.0, 0.0])
+    G = np.array([[1.0, 1.0, 1.0], [0.5, 2.0, 0.0], [1.0, 0.0, 0.3]])
+    h = np.array([4.0, 6.0, 3.0])
+    res_a = PDHGSolver(c, G=G, h=h,
+                       config=PDHGConfig(adaptive=True)).solve()
+    res_f = PDHGSolver(c, G=G, h=h,
+                       config=PDHGConfig(adaptive=False)).solve()
+    assert res_a.optimum and res_f.optimum
+    assert abs(res_a.cost - res_f.cost) < 1e-2 * max(1, abs(res_f.cost))
+    assert res_a.iters <= res_f.iters * 1.5
