@@ -21,7 +21,16 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+def _enable_compile_cache(jax):
+    """Persistent compilation cache (sitecustomize pre-imports jax, so the
+    env var is too late -- the config update works)."""
+    try:
+        os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
@@ -109,6 +118,68 @@ def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
     }
 
 
+def run_bounded(jax, m, n, chunk, maxiters, cfg, highs_samples):
+    """Bounded-variable engine datapoint (VERDICT: previously unbenchmarked)."""
+    import jax.numpy as jnp
+
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu.batch import solve_batch_bounded
+    from linprog_tpu.generators import device_bounded_lps
+
+    @jax.jit
+    def gen(key):
+        return device_bounded_lps(key, chunk, m, n)
+
+    c, A, b, lb, ub = gen(jax.random.PRNGKey(0))
+    B = c.shape[0]
+    basis = jnp.broadcast_to(
+        jnp.arange(n, n + m, dtype=jnp.int32), (B, m)
+    )
+    var_state = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.int8),
+         jnp.full((B, m), int(bnd.BASIC), jnp.int8)], axis=1
+    )
+
+    def solve():
+        return solve_batch_bounded(
+            c, A, b, lb, ub, basis, var_state, maxiters, cfg
+        )
+
+    res = solve()  # compile + warm
+    np.asarray(res.cost)
+    t0 = time.time()
+    res = solve()
+    costs = np.asarray(res.cost)
+    wall = time.time() - t0
+    status = np.asarray(res.status)
+
+    gaps = []
+    try:
+        from scipy.optimize import linprog as scipy_linprog
+
+        for i in range(highs_samples):
+            bounds = list(zip(
+                np.zeros(n + m),
+                [float(u) if np.isfinite(u) else None
+                 for u in np.asarray(ub[i])],
+            ))
+            ref = scipy_linprog(
+                np.asarray(c[i]), A_eq=np.asarray(A[i]),
+                b_eq=np.asarray(b[i]), bounds=bounds, method="highs",
+            )
+            if ref.status == 0:
+                gaps.append(abs(float(costs[i]) - ref.fun) / max(1, abs(ref.fun)))
+    except Exception:
+        pass
+    return {
+        "lps_per_sec": round(B / wall, 2),
+        "wall_sec": round(wall, 3),
+        "optimal": int((status == 1).sum()),
+        "lanes": int(B),
+        "max_rel_gap_vs_highs": float(f"{max(gaps):.3e}") if gaps else None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
@@ -128,6 +199,8 @@ def main():
         args.sizes = ""
 
     import jax
+
+    _enable_compile_cache(jax)
 
     from linprog_tpu.config import SolverConfig
 
@@ -153,6 +226,11 @@ def main():
         extras[f"m{m}"] = run_size(
             jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"], cfg,
             sc["highs_samples"],
+        )
+    if args.sizes:
+        extras["bounded_m256"] = run_bounded(
+            jax, 256, 256, 1024, args.maxiters,
+            cfg.replace(pricing="dantzig", polish_pivots=0), 4,
         )
 
     out = {

@@ -128,16 +128,34 @@ def bounded_step(c, A, b, lb, ub, state: BoundedState, cfg: SolverConfig) -> Bou
         jnp.where(leave_to_lb, AT_LB, AT_UB).astype(jnp.int8)
     )
     pivot_vs = pivot_vs.at[enter].set(BASIC)
-    inv_B_p, _ = engine.eta_update(state.inv_B, state.bfs, d, leave)
-    basis_p = state.basis.at[leave].set(jnp.asarray(enter, jnp.int32))
+    # masked eta update: zeroed eta column makes the rank-1 update a no-op
+    # when not pivoting (avoids a full O(m^2) select; see engine._masked_pivot)
+    d_l = d[leave]
+    safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
+    u = -d / safe
+    u = u.at[leave].set(1.0 / safe - 1.0)
+    u = jnp.where(do_pivot, u, jnp.zeros_like(u))
+    inv_B = state.inv_B + jnp.outer(u, state.inv_B[leave])
+    basis = jnp.where(
+        do_pivot,
+        state.basis.at[leave].set(jnp.asarray(enter, jnp.int32)),
+        state.basis,
+    )
 
-    # --- select + recompute bfs -------------------------------------------
+    # --- incremental bfs (O(m), replaces the reference's from-scratch
+    # x_B = inv_B (b - A_N x_N) chain, special_solvers.py:169-175):
+    # every basic moves by -step * sigma * d; on a true pivot the leaving
+    # slot then holds the entering variable's new value
+    step_len = jnp.where(bound_flip, gamma3, jnp.where(do_pivot, delta, 0.0))
+    bfs_moved = state.bfs - step_len * sd
+    enter_val = (
+        jnp.where(sigma > 0, jnp.take(lb, enter), jnp.take(ub, enter))
+        + sigma * delta
+    )
+    bfs = jnp.where(
+        do_pivot, bfs_moved.at[leave].set(enter_val), bfs_moved
+    )
     var_state = jnp.where(do_pivot, pivot_vs, jnp.where(bound_flip, flipped_vs, state.var_state))
-    basis = jnp.where(do_pivot, basis_p, state.basis)
-    inv_B = jnp.where(do_pivot, inv_B_p, state.inv_B)
-    bfs = compute_bfs(A, b, inv_B, var_state, lb, ub)
-    changed = bound_flip | do_pivot
-    bfs = jnp.where(changed, bfs, state.bfs)
 
     new_status = jnp.where(
         ~not_optimal,
@@ -154,6 +172,16 @@ def bounded_step(c, A, b, lb, ub, state: BoundedState, cfg: SolverConfig) -> Bou
     )
 
 
+def refactorize_bounded(A, b, lb, ub, state: BoundedState) -> BoundedState:
+    """Fresh ``inv_B`` + exact bfs (bounds drift control)."""
+    inv_B = jnp.linalg.inv(jnp.take(A, state.basis, axis=1))
+    bfs = compute_bfs(A, b, inv_B, state.var_state, lb, ub)
+    ok = jnp.all(jnp.isfinite(inv_B)) & jnp.all(jnp.isfinite(bfs))
+    fresh = state._replace(inv_B=inv_B, bfs=bfs)
+    guarded = state._replace(status=jnp.asarray(st.NUMERICAL_ERROR, jnp.int32))
+    return engine.tree_select(ok, fresh, guarded)
+
+
 def run_bounded(c, A, b, lb, ub, state: BoundedState, maxiters, cfg: SolverConfig) -> BoundedState:
     maxiters = jnp.asarray(maxiters, jnp.int32)
 
@@ -163,6 +191,16 @@ def run_bounded(c, A, b, lb, ub, state: BoundedState, maxiters, cfg: SolverConfi
     def body(s: BoundedState):
         return bounded_step(c, A, b, lb, ub, s, cfg)
 
+    if cfg.refactor_every > 0:
+        chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
+
+        def outer_body(s: BoundedState):
+            hi = jnp.minimum(s.iters + chunk, maxiters)
+            s = lax.while_loop(lambda t: cond(t) & (t.iters < hi), body, s)
+            fresh = refactorize_bounded(A, b, lb, ub, s)
+            return engine.tree_select(s.status == st.RUNNING, fresh, s)
+
+        return lax.while_loop(cond, outer_body, state)
     return lax.while_loop(cond, body, state)
 
 

@@ -138,3 +138,43 @@ def to_standard_form_batch(c, G, h):
     A[neg] *= -1
     b[neg] *= -1
     return c_std, A, b
+
+
+def device_bounded_lps(key, batch: int, m: int, n: int, ub_hi: float = 2.0):
+    """Device-side batch of bounded-variable LPs with a known feasible start.
+
+    ``min c'z  s.t.  [G' | I] z = b,  0 <= x <= ub_hi-ish, 0 <= s < inf``
+    where ``G'`` is row-sign-fixed so ``b >= 0``: the all-slack basis with
+    every structural variable AT_LB(=0) is feasible (``bfs = b``), and the
+    feasible region is compact (x box-bounded, s determined by x), so every
+    instance is bounded.  Feeds the bounded-variable engine benchmark
+    (reference capability: ``special_solvers.py:94-343``, never benchmarked
+    there).
+
+    Returns ``(c[B, n+m], A[B, m, n+m], b[B, m], lb[B, n+m], ub[B, n+m])``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kG, kc, kx, ks, ku = jax.random.split(key, 5)
+    G = jax.random.normal(kG, (batch, m, n), jnp.float32)
+    x0 = jax.random.uniform(kx, (batch, n), jnp.float32)
+    slack = jax.random.uniform(ks, (batch, m), jnp.float32)
+    h = jnp.einsum("bmn,bn->bm", G, x0) + slack
+    neg = (h < 0)[:, :, None]
+    Gf = jnp.where(neg, -G, G)
+    b = jnp.abs(h)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32), (batch, m, m))
+    A = jnp.concatenate([Gf, eye], axis=2)
+    c = jnp.concatenate(
+        [jax.random.uniform(kc, (batch, n), jnp.float32, minval=-1.0,
+                            maxval=1.0),
+         jnp.zeros((batch, m), jnp.float32)], axis=1,
+    )
+    ubx = jax.random.uniform(ku, (batch, n), jnp.float32, minval=0.5,
+                             maxval=ub_hi)
+    lb = jnp.zeros((batch, n + m), jnp.float32)
+    ub = jnp.concatenate(
+        [ubx, jnp.full((batch, m), jnp.inf, jnp.float32)], axis=1
+    )
+    return c, A, b, lb, ub

@@ -102,3 +102,64 @@ def test_bound_flip_path():
     assert res.optimum
     assert res.x[0] == pytest.approx(2.0, abs=1e-5)
     assert res.x[1] == pytest.approx(3.0, abs=1e-5)
+
+
+def test_batched_bounded_random_vs_highs():
+    """Incremental-bfs bounded engine on a random device-generated batch
+    must match the HiGHS f64 oracle (with refactorization cadence)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import linprog as highs
+
+    from linprog_tpu import SolverConfig
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu import status as st
+    from linprog_tpu.batch import solve_batch_bounded
+    from linprog_tpu.generators import device_bounded_lps
+
+    B, m, n = 8, 10, 12
+    c, A, b, lb, ub = device_bounded_lps(jax.random.PRNGKey(3), B, m, n)
+    basis = jnp.broadcast_to(jnp.arange(n, n + m, dtype=jnp.int32), (B, m))
+    var_state = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.int8),
+         jnp.full((B, m), int(bnd.BASIC), jnp.int8)], axis=1)
+    cfg = SolverConfig(refactor_every=16)
+    res = solve_batch_bounded(c, A, b, lb, ub, basis, var_state, 500, cfg)
+    assert (np.asarray(res.status) == st.OPTIMAL).all()
+    for i in range(B):
+        bounds = list(zip(
+            np.zeros(n + m),
+            [float(u) if np.isfinite(u) else None for u in np.asarray(ub[i])],
+        ))
+        ref = highs(np.asarray(c[i]), A_eq=np.asarray(A[i]),
+                    b_eq=np.asarray(b[i]), bounds=bounds, method="highs")
+        assert ref.status == 0
+        gap = abs(float(res.cost[i]) - ref.fun) / max(1.0, abs(ref.fun))
+        assert gap < 1e-5, (i, gap)
+
+
+def test_incremental_bfs_matches_fresh_recompute():
+    """After a solve, the incrementally-maintained bfs equals the
+    from-scratch x_B = inv_B (b - A_N x_N) at the terminal state."""
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu import DEFAULT_CONFIG
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu.generators import device_bounded_lps
+
+    B, m, n = 4, 8, 10
+    c, A, b, lb, ub = device_bounded_lps(jax.random.PRNGKey(9), B, m, n)
+    for i in range(B):
+        basis = jnp.arange(n, n + m, dtype=jnp.int32)
+        vs = jnp.concatenate([jnp.zeros((n,), jnp.int8),
+                              jnp.full((m,), int(bnd.BASIC), jnp.int8)])
+        state = bnd.make_bounded_state(A[i], b[i], lb[i], ub[i], basis, vs)
+        state = bnd.run_bounded(c[i], A[i], b[i], lb[i], ub[i], state, 300,
+                                DEFAULT_CONFIG)
+        fresh = bnd.compute_bfs(A[i], b[i],
+                                jnp.linalg.inv(jnp.take(A[i], state.basis,
+                                                        axis=1)),
+                                state.var_state, lb[i], ub[i])
+        np.testing.assert_allclose(np.asarray(state.bfs), np.asarray(fresh),
+                                   atol=5e-4, rtol=5e-4)
