@@ -5,7 +5,7 @@ from .mesh import (
     sharded_two_phase_solve,
 )
 from . import distributed
-from .tp import make_model_mesh, tp_solve
+from .tp import make_model_mesh, tp_solve, tp_solve_batch
 
 __all__ = [
     "make_batch_mesh",
@@ -14,5 +14,6 @@ __all__ = [
     "sharded_two_phase_solve",
     "make_model_mesh",
     "tp_solve",
+    "tp_solve_batch",
     "distributed",
 ]

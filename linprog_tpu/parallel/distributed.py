@@ -31,16 +31,22 @@ def initialize(
 
     With no arguments, relies on the environment (TPU pod runtimes set the
     coordinator automatically); on a single process this is a no-op.
+
+    NB: must not touch ``jax.devices()``/``jax.process_count()`` before
+    initializing -- any backend-initializing call makes
+    ``jax.distributed.initialize`` unusable afterwards.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     if coordinator_address is None and num_processes is None:
         return  # single-process: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized by the runtime
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_batch_mesh(axis: str = "batch") -> Mesh:
