@@ -116,7 +116,11 @@ def slack_crash_state(A, b, n: int) -> SimplexState:
     # slack columns away from exactly 1).
     entry = struct  # [m, n]
     other_mass = col_abs_sum[None, :] - jnp.abs(entry)
-    unit = (entry > 0) & (other_mass <= 1e-6 * col_abs_sum[None, :])
+    # EXACT zero off-pivot mass required: Ruiz equilibration scales rows/
+    # columns multiplicatively, so true slack columns keep exact zeros;
+    # accepting near-unit columns (old 1e-6 tolerance) silently produced a
+    # wrong inv_B/bfs for such columns (diagonal assumption)
+    unit = (entry > 0) & (other_mass == 0.0)
     has_unit = jnp.any(unit, axis=1)  # [m]
     unit_col = jnp.argmax(unit, axis=1).astype(jnp.int32)  # first per row
     basis = jnp.where(

@@ -51,6 +51,7 @@ def _load() -> ctypes.CDLL:
     lib.mps_num_rows.argtypes = [ctypes.c_void_p]
     lib.mps_num_cols.argtypes = [ctypes.c_void_p]
     lib.mps_num_entries.argtypes = [ctypes.c_void_p]
+    lib.mps_num_integer_markers.argtypes = [ctypes.c_void_p]
     lib.mps_is_maximize.argtypes = [ctypes.c_void_p]
     lib.mps_problem_name.argtypes = [ctypes.c_void_p]
     lib.mps_problem_name.restype = ctypes.c_char_p
@@ -86,6 +87,7 @@ class MPSProblem:
     ub: np.ndarray  # [n]
     row_names: List[str]
     col_names: List[str]
+    n_integer_sections: int = 0  # 'MARKER' INTORG sections seen (LP relax)
 
 
 def read_mps(path: str) -> MPSProblem:
@@ -120,6 +122,15 @@ def read_mps(path: str) -> MPSProblem:
 
         row_names = [_name(lib.mps_row_name, i) for i in range(m)]
         col_names = [_name(lib.mps_col_name, i) for i in range(n)]
+        n_int = lib.mps_num_integer_markers(handle)
+        if n_int:
+            import warnings
+
+            warnings.warn(
+                f"{path}: {n_int} integrality marker section(s) present; "
+                "integrality is IGNORED -- this solves the LP relaxation",
+                stacklevel=2,
+            )
         return MPSProblem(
             name=lib.mps_problem_name(handle).decode(),
             maximize=bool(lib.mps_is_maximize(handle)),
@@ -134,6 +145,7 @@ def read_mps(path: str) -> MPSProblem:
             ub=ub,
             row_names=row_names,
             col_names=col_names,
+            n_integer_sections=n_int,
         )
     finally:
         lib.mps_close(handle)

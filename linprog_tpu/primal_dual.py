@@ -107,13 +107,15 @@ def _device_primal_dual(c, A, b, M, maxiters1, maxiters2, cfg: SolverConfig):
         )
         return y_new, counter + 1, new_status, state.basis, state.bfs
 
-    dummy_state, _ = inner(y0)  # shapes for the carry
+    # abstract-eval only (the inner solver is a full nested while-loop;
+    # tracing it twice just for carry shapes doubled trace time)
+    shape_state, _ = jax.eval_shape(inner, y0)
     carry = (
         y0,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
-        dummy_state.basis,
-        dummy_state.bfs,
+        jnp.zeros(shape_state.basis.shape, shape_state.basis.dtype),
+        jnp.zeros(shape_state.bfs.shape, shape_state.bfs.dtype),
     )
     y, counter, status, basis, bfs = lax.while_loop(cond, body, carry)
     status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)

@@ -43,6 +43,7 @@ struct Problem {
   std::vector<double> obj;     // per column
   std::vector<double> lb, ub;  // per column
   std::vector<Entry> entries;  // constraint-matrix entries only
+  int int_markers = 0;  // count of 'MARKER' INTORG sections (LP relaxation!)
   std::string error;
 };
 
@@ -136,8 +137,12 @@ bool parse_file(const std::string& path, Problem& p) {
         break;
       }
       case COLUMNS: {
-        // integrality markers: "<name> 'MARKER' 'INTORG'/'INTEND'" -- skip
-        if (toks.size() >= 3 && toks[1] == "'MARKER'") break;
+        // integrality markers: "<name> 'MARKER' 'INTORG'/'INTEND'" --
+        // counted so callers can warn that they solve the LP RELAXATION
+        if (toks.size() >= 3 && toks[1] == "'MARKER'") {
+          if (toks[2] == "'INTORG'") p.int_markers++;
+          break;
+        }
         if (toks.size() < 3) break;
         int col = col_of(toks[0]);
         for (size_t i = 1; i + 1 < toks.size(); i += 2) {
@@ -213,7 +218,16 @@ extern "C" {
 
 void* mps_open(const char* path, char* errbuf, int errlen) {
   auto* p = new Problem();
-  if (!parse_file(path, *p)) {
+  bool ok = false;
+  try {
+    ok = parse_file(path, *p);
+  } catch (const std::exception& e) {
+    // malformed numeric tokens etc. (std::stod throws) must surface as a
+    // parse error, not terminate the embedding process
+    p->error = std::string("parse exception: ") + e.what();
+    ok = false;
+  }
+  if (!ok) {
     if (errbuf && errlen > 0) {
       std::snprintf(errbuf, static_cast<size_t>(errlen), "%s",
                     p->error.c_str());
@@ -222,6 +236,10 @@ void* mps_open(const char* path, char* errbuf, int errlen) {
     return nullptr;
   }
   return p;
+}
+
+int mps_num_integer_markers(void* h) {
+  return static_cast<Problem*>(h)->int_markers;
 }
 
 int mps_num_rows(void* h) {

@@ -184,3 +184,62 @@ def test_ranged_e_row_negative_range(tmp_path):
     res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
     assert res.optimum
     assert res.x[0] == pytest.approx(1.0, abs=1e-5)  # min x -> x = 1
+
+
+def test_integer_markers_warn(tmp_path):
+    text = textwrap.dedent("""\
+        NAME INTLP
+        ROWS
+         N  OBJ
+         L  R1
+        COLUMNS
+            M1  'MARKER'  'INTORG'
+            X   OBJ   -1.0   R1   1.0
+            M2  'MARKER'  'INTEND'
+        RHS
+            RHS R1    5.0
+        ENDATA
+        """)
+    p = tmp_path / "int.mps"
+    p.write_text(text)
+    with pytest.warns(UserWarning, match="LP relaxation"):
+        prob = read_mps(str(p))
+    assert prob.n_integer_sections == 1
+    # the relaxation still solves
+    c, A, b, G, h, lb, ub = mps_to_solver_inputs(prob)
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h, lb=lb, ub=ub).solve()
+    assert res.x[0] == pytest.approx(5.0, abs=1e-5)
+
+
+@pytest.mark.parametrize("body,match", [
+    ("ROWS\n L  R1\nCOLUMNS\n    X  R1  notanumber\nENDATA\n",
+     "parse"),
+    ("ROWS\n Z  R1\nENDATA\n", "bad row type"),
+    ("ROWS\n L  R1\nGARBAGE\nENDATA\n", "unknown section"),
+])
+def test_malformed_files_fail_loudly(tmp_path, body, match):
+    p = tmp_path / "bad.mps"
+    p.write_text(body)
+    with pytest.raises(ValueError, match=match):
+        read_mps(str(p))
+
+
+def test_rhs_on_unknown_row_rejected_or_ignored(tmp_path):
+    # RANGES naming an unknown row must not crash the reader
+    text = textwrap.dedent("""\
+        NAME ODD
+        ROWS
+         N  OBJ
+         L  R1
+        COLUMNS
+            X   OBJ   1.0   R1   1.0
+        RHS
+            RHS R1    5.0
+        RANGES
+            RNG NOSUCH 1.0
+        ENDATA
+        """)
+    p = tmp_path / "odd.mps"
+    p.write_text(text)
+    prob = read_mps(str(p))  # parses; unknown range row ignored
+    assert np.isnan(prob.ranges[0])
