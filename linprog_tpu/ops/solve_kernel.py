@@ -64,7 +64,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
-                          use_at: bool, stall_limit: int,
+                          use_at: bool, stall_limit: int, ablate: int,
                           # inputs
                           A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
                           iters_in_ref, status_in_ref,
@@ -167,7 +167,10 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         else:
             # ---- pricing: y = c_B inv_B; r = c - y A (+ mask penalty) ----
             y = _dotg(cB, invBT, 1, 1)  # (1, m)
-            r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
+            if ablate == 1:  # PROFILING ONLY: drop the O(mn) pricing matmul
+                r = c_ref[0] - jnp.sum(y) + pen
+            else:
+                r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
 
             if pricing == 2:  # devex: maximize r^2 / gamma over eligible
                 neg = r < -opt_tol
@@ -199,7 +202,10 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 # for large m where A + A^T no longer fit)
                 onehot_n = jnp.where(lane_n == enter, 1.0, 0.0)
                 a_row = _dotg(onehot_n, A, 1, 1)
-            d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
+            if ablate == 2:  # PROFILING ONLY: drop the direction matmul
+                d = a_row
+            else:
+                d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
             pos = d > pivot_tol
             any_pos = jnp.any(pos)
             # bfs clamped at 0: refactorization noise on degenerate basics
@@ -230,7 +236,8 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         # ---- rank-1 eta update of inv_B^T:  invBT += (invBT e_l) u -------
         onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
         col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1) col `leave` of inv_B^T
-        invBT_ref[0] = invBT + col_l * u
+        if ablate != 3:  # ablate==3 (PROFILING ONLY): skip the O(m^2) update
+            invBT_ref[0] = invBT + col_l * u
         bfs_l = jnp.sum(jnp.where(at_leave, bfs, 0.0))
         bfs_ref[0] = bfs + u * bfs_l
 
@@ -281,14 +288,16 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
-                     "feas_tol", "use_at", "stall_limit", "interpret"),
+                     "feas_tol", "use_at", "stall_limit", "ablate",
+                     "interpret"),
     donate_argnums=(5, 6, 7, 8, 9, 10),
 )
 def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
                   gamma, iters, status, *, seg_len: int, pricing: int,
                   opt_tol: float, pivot_tol: float, dual: bool = False,
                   feas_tol: float = 1e-6, use_at: bool = True,
-                  stall_limit: int = 0, interpret: bool | None = None):
+                  stall_limit: int = 0, ablate: int = 0,
+                  interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
     Shapes: ``A[B, m, n]``, ``AT[B, n, m]``, ``c_row[B, 1, n]``,
@@ -306,7 +315,7 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
     B, m, n = A.shape
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
-        dual, feas_tol, use_at, stall_limit,
+        dual, feas_tol, use_at, stall_limit, ablate,
     )
 
     def lane(i):
