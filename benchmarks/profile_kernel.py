@@ -78,9 +78,10 @@ def main():
                          (2, "no-direction-matmul"), (3, "no-eta-update")]:
         def call(pk):
             c_row, apen, invBT, bfs, cB, basis, pen, gamma, it, stt = pk
+            dummy = jnp.zeros((B, 1, 128), jnp.bfloat16)
             return solve_segment(
-                As, AT, c_row, apen, maxit, invBT, bfs, cB, basis, pen,
-                gamma, it, stt, seg_len=seg, pricing=1,
+                As, AT, dummy, c_row, apen, maxit, invBT, bfs, cB,
+                basis, pen, gamma, it, stt, seg_len=seg, pricing=1,
                 opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
                 use_at=True, ablate=ablate,
             )

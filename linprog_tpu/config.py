@@ -84,6 +84,16 @@ class SolverConfig:
     # the whole batch's iteration budget.  0 disables (exact legacy paths).
     # Applied in the mega-kernels and the batched XLA primal path.
     stall_limit: int = 24
+    # Split-bf16 pricing (mega-kernel, primal + dantzig/bland + resident
+    # A^T only): the O(mn) pricing matmul runs as THREE single-pass bf16
+    # products on pre-split (hi, lo) copies of A instead of one 6-pass
+    # HIGHEST f32 matmul -- ~4x less VMEM traffic through the dominant op
+    # at m >= 512.  Reduced-cost error grows from ~eps to ~2^-16 relative,
+    # so pivot choices can differ and termination can land a few pivots
+    # short; pair with polish_pivots (dd repricing fixes the vertex) --
+    # measured-equivalent final accuracy.  The direction/eta math stays
+    # full f32 (basis factors are never computed from split operands).
+    split_pricing: bool = False
     # Terminal double-word polish (linprog_tpu.refine): after the batched
     # two-phase solve, reduced costs are recomputed in split-float/Kahan
     # arithmetic at the terminal basis and up to `polish_pivots` dd-guided

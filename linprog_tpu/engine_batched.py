@@ -218,16 +218,31 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
     else:  # dummy placeholder; the kernel fetches columns via matmul
         AT = jnp.zeros((B, 1, 128), A.dtype)
     pricing_code = {"bland": 0, "dantzig": 1, "devex": 2}[cfg.pricing]
+    # split-bf16 pricing: only the primal bland/dantzig resident-A^T path
+    # has the exact column/pivot-row fetches it needs
+    split = (
+        cfg.split_pricing and mode == "primal" and pricing_code <= 1
+        and use_at
+    )
+    dummy = jnp.zeros((B, 1, 128), A.dtype)
+    if split:
+        Ah = A.astype(jnp.bfloat16)
+        Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
+        Ahl = jnp.concatenate([Ah, Al], axis=2)  # [B, m, 2n]
+        A_in = dummy  # pricing reads [Ah|Al]; the column comes from AT
+    else:
+        Ahl = dummy.astype(jnp.bfloat16)
+        A_in = A
 
     def seg(args):
         invBT, bfs, cB, basis, pen, gamma, iters, status = args
         return solve_segment(
-            A, AT, c_row, apen, maxit_arr, invBT, bfs, cB, basis, pen,
-            gamma, iters, status,
+            A_in, AT, Ahl, c_row, apen, maxit_arr, invBT, bfs, cB,
+            basis, pen, gamma, iters, status,
             seg_len=seg_len, pricing=pricing_code,
             opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
             dual=(mode == "dual"), feas_tol=cfg.feas_tol, use_at=use_at,
-            stall_limit=cfg.stall_limit,
+            stall_limit=cfg.stall_limit, split=split,
         )
 
     carry = (invBT, bfs, cB, basis, pen, gamma, iters, status)

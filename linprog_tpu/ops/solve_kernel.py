@@ -65,9 +65,10 @@ def _dotg(a, b, a_dim, b_dim):
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
                           use_at: bool, stall_limit: int, ablate: int,
+                          split: bool,
                           # inputs
-                          A_ref, AT_ref, c_ref, apen_ref, maxiters_ref,
-                          iters_in_ref, status_in_ref,
+                          A_ref, AT_ref, Ahl_ref, c_ref, apen_ref,
+                          maxiters_ref, iters_in_ref, status_in_ref,
                           invBT_in_ref, bfs_in_ref, cB_in_ref, basis_in_ref,
                           pen_in_ref, gamma_in_ref,
                           # outputs (first six aliased to the last six inputs)
@@ -75,7 +76,10 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           gamma_ref, iters_out_ref, status_out_ref):
     # pricing: 0 = bland, 1 = dantzig, 2 = devex (reference-weight)
     dantzig = pricing >= 1
-    m, n = A_ref.shape[1], A_ref.shape[2]
+    if split:  # A_ref is a dummy; shapes come from the split copy [Ah | Al]
+        m, n = Ahl_ref.shape[1], Ahl_ref.shape[2] // 2
+    else:
+        m, n = A_ref.shape[1], A_ref.shape[2]
     lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -98,9 +102,39 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         seg, iters, status = carry[0], carry[1], carry[2]
         return (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
 
+    def _split_price(y):
+        """bf16x3 pricing: ONE single-pass bf16 matmul replaces the 6-pass
+        HIGHEST f32 product.
+
+        ``y`` is split into exact bf16 halves packed as rows 0/1 of a
+        16-sublane tile (Mosaic needs a full bf16 lhs tile, not a 1-row
+        vector); the rhs is the pre-split ``[Ah | Al]`` block, so one
+        (16, m) @ (m, 2n) product yields yh*Ah, yh*Al (row 0) and yl*Ah
+        (row 1).  Products of bf16 halves are exact in the f32
+        accumulator; only the ~2^-18-relative lo*lo term is dropped.
+        """
+        yh = y.astype(jnp.bfloat16)
+        yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # sublane concat (a where-over-iota packing trips a Mosaic
+        # bf16/i1 relayout bug)
+        lhs = jnp.concatenate(
+            [yh, yl, jnp.zeros((14, m), jnp.bfloat16)], axis=0
+        )
+        out = lax.dot_general(
+            lhs, Ahl_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # explicitly DEFAULT: the package-level
+            # jax_default_matmul_precision=highest would force an fp32
+            # contract, which Mosaic rejects for bf16 operands ("Bad lhs
+            # type"); a native bf16 pass with f32 accumulation is exactly
+            # what this path wants
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (16, 2n) f32
+        return out[0:1, :n] + out[0:1, n:] + out[1:2, :n]
+
     def body(carry):
         seg, iters, status, z_prev, stall, bland = carry
-        A = A_ref[0]  # (m, n)
+        A = None if split else A_ref[0]  # (m, n)
         invBT = invBT_ref[0]  # (m, m) = inv_B^T
         bfs = bfs_ref[0]  # (1, m)
         cB = cB_ref[0]  # (1, m)
@@ -169,6 +203,8 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             y = _dotg(cB, invBT, 1, 1)  # (1, m)
             if ablate == 1:  # PROFILING ONLY: drop the O(mn) pricing matmul
                 r = c_ref[0] - jnp.sum(y) + pen
+            elif split:
+                r = c_ref[0] - _split_price(y) + pen  # (1, n)
             else:
                 r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
 
@@ -288,16 +324,16 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
-                     "feas_tol", "use_at", "stall_limit", "ablate",
+                     "feas_tol", "use_at", "stall_limit", "ablate", "split",
                      "interpret"),
-    donate_argnums=(5, 6, 7, 8, 9, 10),
+    donate_argnums=(6, 7, 8, 9, 10, 11),
 )
-def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
-                  gamma, iters, status, *, seg_len: int, pricing: int,
-                  opt_tol: float, pivot_tol: float, dual: bool = False,
-                  feas_tol: float = 1e-6, use_at: bool = True,
-                  stall_limit: int = 0, ablate: int = 0,
-                  interpret: bool | None = None):
+def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
+                  basis, pen, gamma, iters, status, *, seg_len: int,
+                  pricing: int, opt_tol: float, pivot_tol: float,
+                  dual: bool = False, feas_tol: float = 1e-6,
+                  use_at: bool = True, stall_limit: int = 0, ablate: int = 0,
+                  split: bool = False, interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
     Shapes: ``A[B, m, n]``, ``AT[B, n, m]``, ``c_row[B, 1, n]``,
@@ -312,10 +348,19 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
     """
     if interpret is None:
         interpret = _interpret_default()
-    B, m, n = A.shape
+    if split:
+        if dual or pricing == 2 or not use_at:
+            raise ValueError(
+                "split pricing requires primal mode, bland/dantzig, and a "
+                "resident A^T (the exact column/pivot-row paths need it)"
+            )
+        B, m, n2 = Ahl.shape
+        n = n2 // 2
+    else:
+        B, m, n = A.shape
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
-        dual, feas_tol, use_at, stall_limit, ablate,
+        dual, feas_tol, use_at, stall_limit, ablate, split,
     )
 
     def lane(i):
@@ -330,10 +375,16 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, m, n), lane, memory_space=vmem),  # A
+            (pl.BlockSpec((1, 1, A.shape[2]), lane, memory_space=vmem)
+             if split else
+             pl.BlockSpec((1, m, n), lane, memory_space=vmem)),  # A (dummy
+            # when split: pricing reads Ah/Al, the column comes from AT)
             (pl.BlockSpec((1, n, m), lane, memory_space=vmem) if use_at
              else pl.BlockSpec((1, 1, AT.shape[2]), lane,
                                memory_space=vmem)),  # AT (dummy if unused)
+            (pl.BlockSpec((1, m, 2 * n), lane, memory_space=vmem) if split
+             else pl.BlockSpec((1, 1, Ahl.shape[2]), lane,
+                               memory_space=vmem)),  # [Ah|Al] (dummy if off)
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # c_row
             pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # apen
             pl.BlockSpec((1, 1, 1), shared, memory_space=smem),  # maxiters
@@ -366,7 +417,7 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5},
         interpret=interpret,
         # the default scoped-VMEM cap is 16 MB; v5e physically has 128 MiB
         # of VMEM.  Raising the cap moves the whole-in-VMEM kernel's size
@@ -375,6 +426,6 @@ def solve_segment(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis, pen,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen,
-      gamma)
+    )(A, AT, Ahl, c_row, apen, maxiters, iters, status, invBT, bfs, cB,
+      basis, pen, gamma)
     return outs
