@@ -254,17 +254,30 @@ def solve_batch_bounded(
     be finite (clamp with :func:`linprog_tpu.utils.get_bounds_on_bfs`).
     """
     from . import bounded as bnd
+    from .engine_batched import _mega_kernel_fits
 
-    def one(ci, Ai, bi, lbi, ubi, basisi, vsi):
-        state = bnd.make_bounded_state(Ai, bi, lbi, ubi, basisi, vsi)
-        state = bnd.run_bounded(ci, Ai, bi, lbi, ubi, state, maxiters, cfg)
-        x = bnd.expand_bounded_bfs(state, lbi, ubi)
-        return x, state.basis, state.iters, state.status
+    basis = jnp.asarray(basis, jnp.int32)
+    var_state = jnp.asarray(var_state, jnp.int8)
+    _, m, n = A.shape
+    if cfg.kernels == "pallas" and _mega_kernel_fits(m, n, with_at=False):
+        states = jax.vmap(bnd.make_bounded_state)(
+            A, b, lb, ub, basis, var_state
+        )
+        out = bnd.run_bounded_batched_pallas(
+            c, A, b, lb, ub, states, maxiters, cfg
+        )
+        x = jax.vmap(bnd.expand_bounded_bfs)(out, lb, ub)
+        basis_out, iters, status = out.basis, out.iters, out.status
+    else:
+        def one(ci, Ai, bi, lbi, ubi, basisi, vsi):
+            state = bnd.make_bounded_state(Ai, bi, lbi, ubi, basisi, vsi)
+            state = bnd.run_bounded(ci, Ai, bi, lbi, ubi, state, maxiters, cfg)
+            x = bnd.expand_bounded_bfs(state, lbi, ubi)
+            return x, state.basis, state.iters, state.status
 
-    x, basis_out, iters, status = jax.vmap(one)(
-        c, A, b, lb, ub, jnp.asarray(basis, jnp.int32),
-        jnp.asarray(var_state, jnp.int8),
-    )
+        x, basis_out, iters, status = jax.vmap(one)(
+            c, A, b, lb, ub, basis, var_state,
+        )
     status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)
     return BatchResult(
         x=x,

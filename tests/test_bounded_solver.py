@@ -163,3 +163,59 @@ def test_incremental_bfs_matches_fresh_recompute():
                                 state.var_state, lb[i], ub[i])
         np.testing.assert_allclose(np.asarray(state.bfs), np.asarray(fresh),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_bounded_mega_kernel_matches_vmapped_engine():
+    """The bounded-variable mega-kernel (kernels='pallas') must match the
+    vmapped per-lane engine lane-for-lane on random bounded batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu import SolverConfig
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu import status as st
+    from linprog_tpu.batch import solve_batch_bounded
+    from linprog_tpu.generators import device_bounded_lps
+
+    B, m, n = 8, 10, 12
+    c, A, b, lb, ub = device_bounded_lps(jax.random.PRNGKey(7), B, m, n)
+    basis = jnp.broadcast_to(jnp.arange(n, n + m, dtype=jnp.int32), (B, m))
+    vs = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.int8),
+         jnp.full((B, m), int(bnd.BASIC), jnp.int8)], axis=1)
+    res_x = solve_batch_bounded(
+        c, A, b, lb, ub, basis, vs, 500,
+        SolverConfig(refactor_every=16, kernels="xla"))
+    res_p = solve_batch_bounded(
+        c, A, b, lb, ub, basis, vs, 500,
+        SolverConfig(refactor_every=16, kernels="pallas"))
+    assert (np.asarray(res_p.status) == st.OPTIMAL).all()
+    assert np.array_equal(np.asarray(res_p.status), np.asarray(res_x.status))
+    assert np.array_equal(np.asarray(res_p.basis), np.asarray(res_x.basis))
+    assert np.array_equal(np.asarray(res_p.iters), np.asarray(res_x.iters))
+    np.testing.assert_allclose(
+        np.asarray(res_p.x), np.asarray(res_x.x), atol=2e-4, rtol=2e-4)
+
+
+def test_bounded_mega_kernel_bazaraa():
+    """Textbook ground truth through the mega-kernel path."""
+    import jax.numpy as jnp
+
+    from linprog_tpu import SolverConfig
+    from linprog_tpu import status as st
+    from linprog_tpu.batch import solve_batch_bounded
+
+    c = jnp.asarray([[-2.0, -4.0, -1.0, 0.0, 0.0]], jnp.float32)
+    A = jnp.asarray([[[2.0, 1.0, 1.0, 1.0, 0.0],
+                      [1.0, 1.0, -1.0, 0.0, 1.0]]], jnp.float32)
+    b = jnp.asarray([[10.0, 4.0]], jnp.float32)
+    lb = jnp.asarray([[0.0, 0.0, 1.0, 0.0, 0.0]], jnp.float32)
+    ub = jnp.asarray([[4.0, 6.0, 4.0, 1e6, 1e6]], jnp.float32)
+    basis = jnp.asarray([[3, 4]], jnp.int32)
+    vs = jnp.asarray([[0, 0, 0, 2, 2]], jnp.int8)
+    res = solve_batch_bounded(
+        c, A, b, lb, ub, basis, vs, 100,
+        SolverConfig(refactor_every=16, kernels="pallas"))
+    assert int(np.asarray(res.status)[0]) == st.OPTIMAL
+    np.testing.assert_allclose(
+        np.asarray(res.x)[0], [2 / 3, 6.0, 8 / 3, 0.0, 0.0], atol=1e-3)
