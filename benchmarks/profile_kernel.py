@@ -75,7 +75,9 @@ def main():
 
     results = {}
     for ablate, name in [(0, "full"), (1, "no-pricing-matmul"),
-                         (2, "no-direction-matmul"), (3, "no-eta-update")]:
+                         (2, "no-direction-matmul"), (3, "no-eta-update"),
+                         (4, "no-enter-selection"), (5, "no-ratio-test"),
+                         (6, "no-scalar-extracts"), (7, "no-bookkeeping")]:
         def call(pk):
             c_row, apen, invBT, bfs, cB, basis, pen, gamma, it, stt = pk
             dummy = jnp.zeros((B, 1, 128), jnp.bfloat16)
@@ -104,10 +106,11 @@ def main():
 
     full = results["full"]
     print("\nattribution (us/lane-iter):")
-    for k in ("no-pricing-matmul", "no-direction-matmul", "no-eta-update"):
+    parts = [k for k in results if k != "full"]
+    for k in parts:
         print(f"  {k.replace('no-', ''):<20} {full - results[k]:+.3f}")
-    print(f"  residual (selection/bookkeeping/loop): "
-          f"{results['no-pricing-matmul'] + results['no-direction-matmul'] + results['no-eta-update'] - 2 * full:.3f}")
+    explained = sum(full - results[k] for k in parts)
+    print(f"  unexplained residual (loop/misc): {full - explained:.3f}")
 
 
 if __name__ == "__main__":

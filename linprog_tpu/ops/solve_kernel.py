@@ -133,7 +133,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         return out[0:1, :n] + out[0:1, n:] + out[1:2, :n]
 
     def body(carry):
-        seg, iters, status, z_prev, stall, bland = carry
+        seg, iters, status, z, dz_prev, stall, bland = carry
         A = None if split else A_ref[0]  # (m, n)
         invBT = invBT_ref[0]  # (m, m) = inv_B^T
         bfs = bfs_ref[0]  # (1, m)
@@ -146,30 +146,33 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         # resumes.  Matches SURVEY section-5 failure-detection plan; the
         # reference's default rule is cycle-safe Bland
         # (/root/reference/linprog/primal_solvers.py:135-138).
+        # The per-pivot objective change ``dz`` is carried exactly
+        # (dz = theta * r_enter, zero on degenerate/cycling pivots), so no
+        # O(m) objective reduction is paid per iteration; ``z`` accumulates
+        # the changes and is only used as the relative-progress scale.
         if track_stall:
-            z = jnp.sum(cB * bfs)
-            progressed = jnp.abs(z - z_prev) > 1e-6 * (jnp.abs(z) + 1.0)
+            progressed = jnp.abs(dz_prev) > 1e-6 * (jnp.abs(z) + 1.0)
             stall = jnp.where(progressed, 0, stall + 1)
             bland = jnp.where(
                 progressed, 0, jnp.where(stall >= stall_limit, 1, bland)
             )
             use_bland = bland != 0
         else:
-            z = z_prev
             use_bland = jnp.zeros((), jnp.bool_)
 
         if dual:
             # ---- dual iteration: leaving row first, then entering column --
             neg = bfs < -feas_tol  # (1, m) infeasible basics
-            viable = jnp.any(neg)
             if dantzig:  # most-infeasible row (dual Dantzig)
                 worst = jnp.min(bfs)
+                viable = worst < -feas_tol
                 leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
                 if track_stall:  # stalled: first infeasible row (Bland)
                     leave_b = jnp.min(jnp.where(neg, lane_m, m))
                     leave = jnp.where(use_bland, leave_b, leave)
             else:  # bland: first infeasible row (reference rule)
                 leave = jnp.min(jnp.where(neg, lane_m, m))
+                viable = leave < m
             leave = jnp.where(viable, leave, 0)
             onehot_l0 = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
             w = _dotg(invBT, onehot_l0, 1, 0)  # (m,1) == inv_B[leave, :]^T
@@ -177,11 +180,11 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             y = _dotg(cB, invBT, 1, 1)
             r = c_ref[0] - _dotg(y, A, 1, 0)  # raw reduced costs
             cand = (urow < -pivot_tol) & (pen == 0.0)
-            any_cand = jnp.any(cand)
             theta_d = jnp.where(
                 cand, -r / jnp.where(cand, urow, -jnp.ones_like(urow)), jnp.inf
             )
             best_d = jnp.min(theta_d)
+            any_cand = best_d < jnp.inf
             enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
             enter = jnp.where(any_cand, enter, 0)
 
@@ -208,13 +211,17 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             else:
                 r = c_ref[0] - _dotg(y, A, 1, 0) + pen  # (1, n)
 
-            if pricing == 2:  # devex: maximize r^2 / gamma over eligible
+            if ablate == 4:  # PROFILING ONLY: skip entering-selection reductions
+                neg = r < -opt_tol
+                enter = lax.rem(seg, jnp.int32(n))
+                eligible = jnp.ones((), jnp.bool_)
+            elif pricing == 2:  # devex: maximize r^2 / gamma over eligible
                 neg = r < -opt_tol
                 gamma = gamma_ref[0]
                 score = jnp.where(neg, (r * r) / gamma, -jnp.inf)
                 best_s = jnp.max(score)
+                eligible = best_s > -jnp.inf
                 enter = jnp.min(jnp.where(score == best_s, lane_n, n))
-                eligible = jnp.any(neg)
             elif dantzig:
                 neg = r < -opt_tol
                 best = jnp.min(r)
@@ -223,7 +230,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             else:
                 neg = r < -opt_tol
                 enter = jnp.min(jnp.where(neg, lane_n, n))
-                eligible = jnp.any(neg)
+                eligible = enter < n
             if track_stall:  # stalled lane: first eligible column (Bland)
                 enter_b = jnp.min(jnp.where(neg, lane_n, n))
                 enter = jnp.where(use_bland, enter_b, enter)
@@ -242,17 +249,23 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 d = a_row
             else:
                 d = _dotg(a_row, invBT, 1, 0)  # (1, m) == (inv_B a)^T
-            pos = d > pivot_tol
-            any_pos = jnp.any(pos)
-            # bfs clamped at 0: refactorization noise on degenerate basics
-            # must not produce negative ratios (see engine.primal_step)
-            bfs_nn = jnp.maximum(bfs, 0.0)
-            theta = jnp.where(
-                pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
-            )
-            best_t = jnp.min(theta)
-            leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
-            leave = jnp.where(any_pos, leave, 0)
+            if ablate == 5:  # PROFILING ONLY: skip ratio-test reductions
+                any_pos = jnp.ones((), jnp.bool_)
+                best_t = jnp.zeros((), jnp.float32)
+                leave = lax.rem(seg, jnp.int32(m))
+            else:
+                pos = d > pivot_tol
+                # bfs clamped at 0: refactorization noise on degenerate
+                # basics must not produce negative ratios
+                # (see engine.primal_step)
+                bfs_nn = jnp.maximum(bfs, 0.0)
+                theta = jnp.where(
+                    pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
+                )
+                best_t = jnp.min(theta)
+                any_pos = best_t < jnp.inf  # min(theta) finite iff some d>tol
+                leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
+                leave = jnp.where(any_pos, leave, 0)
 
             do_pivot = eligible & any_pos
             stop_status = jnp.where(
@@ -263,7 +276,39 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             )
 
         at_leave = lane_m == leave  # (1, m)
-        d_l = jnp.sum(jnp.where(at_leave, d, 0.0))
+        at_enter = lane_n == enter  # (1, n)
+        if ablate == 6:  # PROFILING ONLY: skip the masked scalar extracts
+            d_l = jnp.ones((), jnp.float32)
+            bfs_l = jnp.zeros((), jnp.float32)
+            leaving_col = jnp.zeros((), jnp.int32)
+            c_enter = jnp.zeros((), jnp.float32)
+            r_enter = jnp.zeros((), jnp.float32)
+        else:
+            # masked one-nonzero extracts, PACKED: one (3, m) lane reduction
+            # instead of three separate full-row reductions (each row has a
+            # single surviving element, so the packed sums are bit-exact)
+            rows_m = jnp.concatenate(
+                [jnp.where(at_leave, d, 0.0),
+                 jnp.where(at_leave, bfs, 0.0),
+                 jnp.where(at_leave, basis.astype(jnp.float32), 0.0)],
+                axis=0,
+            )  # (3, m)
+            sums_m = jnp.sum(rows_m, axis=1, keepdims=True)  # (3, 1)
+            d_l = sums_m[0, 0]
+            bfs_l = sums_m[1, 0]
+            # basis indices < 2^24: exact through the f32 packing
+            leaving_col = sums_m[2, 0].astype(jnp.int32)
+            if track_stall and not dual:
+                rows_n = jnp.concatenate(
+                    [jnp.where(at_enter, c_ref[0], 0.0),
+                     jnp.where(at_enter, r, 0.0)], axis=0,
+                )  # (2, n)
+                sums_n = jnp.sum(rows_n, axis=1, keepdims=True)  # (2, 1)
+                c_enter = sums_n[0, 0]
+                r_enter = sums_n[1, 0]
+            else:
+                c_enter = jnp.sum(jnp.where(at_enter, c_ref[0], 0.0))
+                r_enter = jnp.zeros((), jnp.float32)
         safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
         u = -d / safe
         u = jnp.where(at_leave, 1.0 / safe - 1.0, u)
@@ -274,23 +319,21 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1) col `leave` of inv_B^T
         if ablate != 3:  # ablate==3 (PROFILING ONLY): skip the O(m^2) update
             invBT_ref[0] = invBT + col_l * u
-        bfs_l = jnp.sum(jnp.where(at_leave, bfs, 0.0))
         bfs_ref[0] = bfs + u * bfs_l
 
         # ---- bookkeeping: basis, c_B, penalty ----------------------------
-        leaving_col = jnp.sum(jnp.where(at_leave, basis, 0))
-        basis_ref[0] = jnp.where(
-            at_leave & do_pivot, enter, basis
-        ).astype(jnp.int32)
-        c_enter = jnp.sum(jnp.where(lane_n == enter, c_ref[0], 0.0))
-        cB_new = jnp.where(at_leave, c_enter, cB)
-        cB_ref[0] = jnp.where(do_pivot, cB_new, cB)
-        pen_new = jnp.where(
-            lane_n == enter,
-            jnp.inf,
-            jnp.where(lane_n == leaving_col, apen_ref[0], pen),
-        )
-        pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
+        if ablate != 7:  # ablate==7 (PROFILING ONLY): skip bookkeeping writes
+            basis_ref[0] = jnp.where(
+                at_leave & do_pivot, enter, basis
+            ).astype(jnp.int32)
+            cB_new = jnp.where(at_leave, c_enter, cB)
+            cB_ref[0] = jnp.where(do_pivot, cB_new, cB)
+            pen_new = jnp.where(
+                at_enter,
+                jnp.inf,
+                jnp.where(lane_n == leaving_col, apen_ref[0], pen),
+            )
+            pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
 
         if pricing == 2:
             # devex reference weights: gamma_j <- max(gamma_j,
@@ -299,7 +342,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             # variable re-entering the nonbasic pool at gamma_q/alpha_q^2.
             gamma = gamma_ref[0]
             w = _dotg(col_l, A, 0, 0)  # (1, n) pivot row, alpha_q = d_l
-            gamma_q = jnp.sum(jnp.where(lane_n == enter, gamma, 0.0))
+            gamma_q = jnp.sum(jnp.where(at_enter, gamma, 0.0))
             gamma_q = jnp.maximum(gamma_q, 1.0)
             ratio2 = (w / safe) * (w / safe)
             gamma_new = jnp.maximum(gamma, ratio2 * gamma_q)
@@ -308,13 +351,29 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             gamma_new = jnp.minimum(gamma_new, 1e12)
             gamma_ref[0] = jnp.where(do_pivot, gamma_new, gamma)
 
+        # exact objective change of this pivot: theta * r_enter (primal,
+        # zero on degenerate steps), -theta_d * bfs_leave (dual)
+        if track_stall:
+            if dual:
+                dz = -best_d * bfs_l
+            else:
+                dz = best_t * r_enter
+            dz = jnp.where(do_pivot, dz, 0.0)
+        else:
+            dz = jnp.zeros((), jnp.float32)
+
         return (seg + 1, iters + 1, stop_status.astype(jnp.int32),
-                z, stall, bland)
+                z + dz, dz, stall, bland)
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
     status0 = status_in_ref[0, 0, 0]
-    carry0 = (seg0, iters0, status0, jnp.asarray(jnp.inf, jnp.float32),
+    if track_stall:  # progress scale: objective at segment entry
+        z0 = jnp.sum(cB_in_ref[0] * bfs_in_ref[0])
+    else:
+        z0 = jnp.zeros((), jnp.float32)
+    carry0 = (seg0, iters0, status0, z0,
+              jnp.asarray(jnp.inf, jnp.float32),
               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     out = lax.while_loop(cond, body, carry0)
     iters_out_ref[0, 0, 0] = out[1]
