@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--B", type=int, default=1024)
     ap.add_argument("--seg", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant names (e.g. 'full')")
+    ap.add_argument("--stall", type=int, default=0,
+                    help="stall_limit (bench default is 24; 0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -74,10 +78,14 @@ def main():
     lane_iters = B * seg
 
     results = {}
-    for ablate, name in [(0, "full"), (1, "no-pricing-matmul"),
-                         (2, "no-direction-matmul"), (3, "no-eta-update"),
-                         (4, "no-enter-selection"), (5, "no-ratio-test"),
-                         (6, "no-scalar-extracts"), (7, "no-bookkeeping")]:
+    variants = [(0, "full"), (1, "no-pricing-matmul"),
+                (2, "no-direction-matmul"), (3, "no-eta-update"),
+                (4, "no-enter-selection"), (5, "no-ratio-test"),
+                (6, "no-scalar-extracts"), (7, "no-bookkeeping")]
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[1] in keep]
+    for ablate, name in variants:
         def call(pk):
             c_row, apen, invBT, bfs, cB, basis, pen, gamma, it, stt = pk
             dummy = jnp.zeros((B, 1, 128), jnp.bfloat16)
@@ -85,7 +93,7 @@ def main():
                 As, AT, dummy, c_row, apen, maxit, invBT, bfs, cB,
                 basis, pen, gamma, it, stt, seg_len=seg, pricing=1,
                 opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
-                use_at=True, ablate=ablate,
+                use_at=True, ablate=ablate, stall_limit=args.stall,
             )
 
         out = call(packed())  # compile + warm
@@ -104,13 +112,14 @@ def main():
         print(f"{name:<22} {dt:.3f} s/segment  -> {us:.3f} us/lane-iter",
               flush=True)
 
-    full = results["full"]
-    print("\nattribution (us/lane-iter):")
-    parts = [k for k in results if k != "full"]
-    for k in parts:
-        print(f"  {k.replace('no-', ''):<20} {full - results[k]:+.3f}")
-    explained = sum(full - results[k] for k in parts)
-    print(f"  unexplained residual (loop/misc): {full - explained:.3f}")
+    if "full" in results and len(results) > 1:
+        full = results["full"]
+        print("\nattribution (us/lane-iter):")
+        parts = [k for k in results if k != "full"]
+        for k in parts:
+            print(f"  {k.replace('no-', ''):<20} {full - results[k]:+.3f}")
+        explained = sum(full - results[k] for k in parts)
+        print(f"  unexplained residual (loop/misc): {full - explained:.3f}")
 
 
 if __name__ == "__main__":

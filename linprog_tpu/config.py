@@ -94,6 +94,18 @@ class SolverConfig:
     # measured-equivalent final accuracy.  The direction/eta math stays
     # full f32 (basis factors are never computed from split operands).
     split_pricing: bool = False
+    # Partial (sectional) pricing -- streaming mega-kernel (large m) only:
+    # each iteration prices ONE n_blk-wide column section (one DMA + one
+    # small matmul) instead of streaming all of A; the kernel stays in a
+    # section while it yields entering candidates and rotates on
+    # exhaustion.  Optimality is declared after a full rotation of empty
+    # sections under an unchanged basis (a valid proof).  Classic
+    # trade-off: ~10-30% more pivots for ~S x less pricing traffic --
+    # pays off where pricing bandwidth dominates (m >= 1024).  Pivot
+    # sequences differ from full Dantzig; under stall escalation the
+    # Bland fallback is section-local (documented deviation from the
+    # global-index rule).  Ignored outside the streaming primal path.
+    partial_pricing: bool = False
     # Terminal double-word polish (linprog_tpu.refine): after the batched
     # two-phase solve, reduced costs are recomputed in split-float/Kahan
     # arithmetic at the terminal basis and up to `polish_pivots` dd-guided

@@ -388,21 +388,25 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
     c_row, apen, invBT, bfs, cB, basis, pen, _, iters, status = _pallas_pack(
         c, A, state, allowed
     )
-    if variant == "stream":
-        AT = jnp.swapaxes(A, 1, 2)
-    else:
-        AT = jnp.zeros((B, 1, 128), A.dtype)
+    # the kernel works exclusively from A^T (pricing/dual rows as dim-1
+    # contractions; the entering column as a free sublane slice)
+    AT = jnp.swapaxes(A, 1, 2)
     pricing_code = {"bland": 0, "dantzig": 1, "devex": 1}[cfg.pricing]
+    # sectional pricing: primal only (see stream_kernel docstring)
+    partial = bool(cfg.partial_pricing and mode == "primal")
+    if partial and n_blk == 0:
+        n_blk = 256 if n % 256 == 0 else 0
+        partial = n_blk > 0
 
     def seg(carry):
         invBT, bfs, cB, basis, pen, iters, status = carry
         return solve_segment_stream(
-            A, AT, c_row, apen, maxit_arr, invBT, bfs, cB, basis, pen,
+            AT, c_row, apen, maxit_arr, invBT, bfs, cB, basis, pen,
             iters, status,
             seg_len=seg_len, pricing=pricing_code, opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol, dual=(mode == "dual"),
             feas_tol=cfg.feas_tol, a_resident=(variant == "resident"),
-            n_blk=n_blk, stall_limit=cfg.stall_limit,
+            n_blk=n_blk, stall_limit=cfg.stall_limit, partial=partial,
         )
 
     def any_running(carry):

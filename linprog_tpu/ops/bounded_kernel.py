@@ -101,7 +101,21 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         enter = jnp.where(eligible, enter, 0)
         at_enter = lane_n == enter
 
-        vs_enter = jnp.sum(jnp.where(at_enter, vstate, 0.0))
+        # masked one-nonzero extracts, PACKED: one (4, n) lane reduction
+        # instead of four separate full-row reductions (bit-exact: each row
+        # has a single surviving element; the +/-inf bound entries survive
+        # the per-row sums unchanged); see solve_kernel
+        rows_n = jnp.concatenate(
+            [jnp.where(at_enter, vstate, 0.0),
+             jnp.where(at_enter, lb, 0.0),
+             jnp.where(at_enter, ub, 0.0),
+             jnp.where(at_enter, c, 0.0)], axis=0,
+        )  # (4, n)
+        sums_n = jnp.sum(rows_n, axis=1, keepdims=True)  # (4, 1)
+        vs_enter = sums_n[0, 0]
+        lb_e = sums_n[1, 0]
+        ub_e = sums_n[2, 0]  # inf-safe: selected entry passes through
+        c_e = sums_n[3, 0]
         sigma = jnp.where(vs_enter == 0.0, 1.0, -1.0)  # +1 from lb, -1 from ub
 
         # ---- direction ----------------------------------------------------
@@ -124,8 +138,6 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         g2v = jnp.where(neg, room_hi / jnp.where(neg, -sd, 1.0), inf)
         g1 = jnp.min(g1v)
         g2 = jnp.min(g2v)
-        lb_e = jnp.sum(jnp.where(at_enter, lb, 0.0))
-        ub_e = jnp.sum(jnp.where(at_enter, ub, 0.0))  # inf-safe: selected
         gamma3 = ub_e - lb_e
         delta = jnp.minimum(g1, g2)
 
@@ -150,7 +162,13 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         bfs_ref[0] = bfs_new
 
         # ---- masked rank-1 eta update of inv_B^T ---------------------------
-        d_l = jnp.sum(jnp.where(at_leave, d, 0.0))
+        rows_m = jnp.concatenate(
+            [jnp.where(at_leave, d, 0.0),
+             jnp.where(at_leave, basis.astype(jnp.float32), 0.0)], axis=0,
+        )  # (2, m)
+        sums_m = jnp.sum(rows_m, axis=1, keepdims=True)  # (2, 1)
+        d_l = sums_m[0, 0]
+        leaving_col = sums_m[1, 0].astype(jnp.int32)  # exact: indices < 2^24
         safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
         u = -d / safe
         u = jnp.where(at_leave, 1.0 / safe - 1.0, u)
@@ -160,11 +178,9 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         invBT_ref[0] = invBT + col_l * u
 
         # ---- bookkeeping ---------------------------------------------------
-        leaving_col = jnp.sum(jnp.where(at_leave, basis, 0))
         basis_ref[0] = jnp.where(
             at_leave & piv, enter, basis
         ).astype(jnp.int32)
-        c_e = jnp.sum(jnp.where(at_enter, c, 0.0))
         cB_ref[0] = jnp.where(at_leave & piv, c_e, cB)
         lbB_ref[0] = jnp.where(at_leave & piv, lb_e, lbB)
         ubB_ref[0] = jnp.where(at_leave & piv, ub_e, ubB)

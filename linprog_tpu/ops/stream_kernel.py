@@ -1,4 +1,4 @@
-"""Streaming simplex mega-kernel: VMEM-resident factors, HBM-resident A.
+"""Streaming simplex mega-kernel: VMEM-resident factors, HBM-resident A^T.
 
 The whole-segment kernel in :mod:`solve_kernel` keeps one lane's ENTIRE
 working set (A, inv_B^T, vectors) in VMEM blocks managed by Mosaic's grid
@@ -8,25 +8,38 @@ estimate (measured 27.2 MB at m=512 vs the 16 MB hard limit) -- the kernel
 dies past m ~= 384-512 and the driver used to fall back to the ~5x-slower
 per-op XLA path.
 
-This kernel restructures the memory choreography for m in (~384, ~1152]:
+This kernel restructures the memory choreography for m in (~384, ~1500]:
 
-* ``inv_B^T`` and ``A`` stay in **HBM** (``memory_space=ANY``) and are moved
-  by explicit DMA into **scratch** buffers, which Mosaic does NOT
+* ``inv_B^T`` and ``A^T`` stay in **HBM** (``memory_space=ANY``) and are
+  moved by explicit DMA into **scratch** buffers, which Mosaic does NOT
   double-buffer: one copy each, allocated once per lane.
 * ``inv_B^T`` is DMA'd in at segment start, updated in place in VMEM for up
   to ``seg_len`` complete simplex iterations, and DMA'd back at segment end.
-* ``A``:
-    - *resident* mode (``a_resident=True``, m <= ~768): one DMA of the whole
+* the constraint matrix lives as ``A^T`` ``(n, m)`` -- NOT ``A``.  Every
+  kernel contraction runs over the m axis, so ``A^T`` serves pricing and
+  dual rows as dim-1 ``dot_general`` contractions (no transposes), and the
+  entering column ``A[:, enter]`` becomes a dynamic SUBLANE slice
+  ``AT[enter, :]`` -- *free*, where an ``A``-resident layout needed a
+  one-hot matmul that read the whole slab (m*n*4 B per pivot: 12.6 MB at
+  m=1024, measured as roughly a third of the per-pivot time).
+    - *resident* mode (``a_resident=True``): one DMA of the whole ``A^T``
       lane slab at segment start.  Per-iteration HBM traffic: zero.
-    - *streaming* mode (m up to ~1152): A no longer fits, so each pricing
-      pass streams A in ``(m, n_blk)`` column blocks with double-buffered
-      DMA overlapped with the pricing matmul, writing reduced costs into a
-      full-length VMEM row.  The entering column is fetched as ONE
-      contiguous DMA of row ``enter`` of ``A^T`` (kept in HBM; a strided
-      column DMA of A would issue m 4-byte descriptors).
-      Per-iteration HBM traffic: m*n*4 B (pricing) + m*4 B (column) --
-      ~2.5x less than the XLA path, which also re-reads ``inv_B`` (3 passes)
-      and ``A`` from HBM every pivot and pays per-op launch overheads.
+    - *streaming* mode (larger m): each pricing pass streams ``A^T`` in
+      ``(n_blk, m)`` ROW blocks -- contiguous DMAs -- double-buffered and
+      overlapped with the pricing matmul; the entering column is one
+      contiguous row DMA.  Per-iteration HBM traffic: m*n*4 B (pricing)
+      + m*4 B (column).
+    - *partial (sectional) pricing* (``partial=True``, primal only, both
+      variants): each iteration prices ONE ``(n_blk, m)`` section -- a
+      sublane slice (resident) or a single contiguous DMA (streaming) --
+      and selects the best eligible column WITHIN the section (classic
+      partial pricing; Chvatal ch. 7).  The kernel stays in a section
+      while it yields candidates, rotates to the next on exhaustion, and
+      a full rotation of ``S = n / n_blk`` consecutive empty sections
+      under an unchanged basis is a valid optimality proof.  Per-pivot
+      pricing traffic drops ~S x for the classic ~10-30% pivot-count
+      increase.  ``c``/``apen``/``pen`` are laid out ``(S, n_blk)`` so a
+      section is a dynamic sublane slice; no (1, n) row is materialized.
 * small state rows (bfs, c_B, basis, penalty) remain ordinary VMEM grid
   blocks -- a few KB each, double-buffering is irrelevant.
 
@@ -72,8 +85,9 @@ def _dotg(a, b, a_dim, b_dim):
 def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                    pivot_tol: float, dual: bool, feas_tol: float,
                    a_resident: bool, n_blk: int, stall_limit: int,
+                   partial: bool,
                    # inputs
-                   A_hbm, AT_hbm, c_ref, apen_ref, maxiters_ref,
+                   AT_hbm, c_ref, apen_ref, maxiters_ref,
                    iters_in_ref, status_in_ref, invBT_hbm,
                    bfs_in_ref, cB_in_ref, basis_in_ref, pen_in_ref,
                    # outputs (invBT_out aliased to invBT_hbm, etc.)
@@ -84,16 +98,22 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     i = pl.program_id(0)
     dantzig = pricing >= 1
     m = invbt_buf.shape[0]
-    n = r_buf.shape[1]
-    lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    if partial:
+        S = c_ref.shape[1]  # c/apen/pen laid out (1, S, n_blk)
+        n = S * n_blk
+    else:
+        n = r_buf.shape[1] if not a_resident else a_buf.shape[0]
+        lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    if partial:
+        lane_blk = lax.broadcasted_iota(jnp.int32, (1, n_blk), 1)
 
     # ---- stage state into scratch ---------------------------------------
     pltpu.make_async_copy(invBT_hbm.at[i], invbt_buf, sem.at[0]).start()
     if a_resident:
-        pltpu.make_async_copy(A_hbm.at[i], a_buf, sem.at[1]).start()
-        pltpu.make_async_copy(A_hbm.at[i], a_buf, sem.at[1]).wait()
+        pltpu.make_async_copy(AT_hbm.at[i], a_buf, sem.at[1]).start()
+        pltpu.make_async_copy(AT_hbm.at[i], a_buf, sem.at[1]).wait()
     pltpu.make_async_copy(invBT_hbm.at[i], invbt_buf, sem.at[0]).wait()
 
     # small state rows: self-copy initializes the aliased outputs
@@ -103,19 +123,20 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     pen_ref[0] = pen_in_ref[0]
 
     maxiters = maxiters_ref[0, 0, 0]
-    nb = 0 if a_resident else n // n_blk
+    nb = 0 if (a_resident or partial) else n // n_blk
 
     def _price_rows(rows):
-        """rows [k, m] @ A -> [k, n], streamed over HBM column blocks.
+        """rows [k, m] @ A -> [k, n], streamed over HBM A^T row blocks.
 
-        Double-buffered: block j+1's DMA is in flight while block j
-        multiplies.  Results land in full-length VMEM rows (r_buf/u_buf).
+        Double-buffered: block j+1's (contiguous) DMA is in flight while
+        block j multiplies.  Results land in full-length VMEM rows
+        (r_buf/u_buf).
         """
         k = rows.shape[0]
 
         def a_dma(slot, j):
             return pltpu.make_async_copy(
-                A_hbm.at[i, :, pl.ds(j * n_blk, n_blk)],
+                AT_hbm.at[i, pl.ds(j * n_blk, n_blk), :],
                 a_buf.at[slot], sem.at[1 + slot],
             )
 
@@ -130,7 +151,7 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 a_dma(nxt, j + 1).start()
 
             a_dma(slot, j).wait()
-            prod = _dotg(rows, a_buf[slot], 1, 0)  # (k, n_blk)
+            prod = _dotg(rows, a_buf[slot], 1, 1)  # (k, n_blk)
             r_buf[0, pl.ds(j * n_blk, n_blk)] = prod[0]
             if k > 1:
                 u_buf[0, pl.ds(j * n_blk, n_blk)] = prod[1]
@@ -146,39 +167,40 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         return (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
 
     def body(carry):
-        seg, iters, status, z_prev, stall, bland = carry
+        seg, iters, status, z, dz_prev, stall, bland, sec, empty = carry
         invBT = invbt_buf[...]  # (m, m)
         bfs = bfs_ref[0]  # (1, m)
         cB = cB_ref[0]
         basis = basis_ref[0]
-        pen = pen_ref[0]  # (1, n)
 
         # stalled-lane detection (see solve_kernel): no objective progress
-        # over `stall_limit` pivots -> Bland's rule until progress resumes
+        # over `stall_limit` pivots -> Bland's rule until progress resumes.
+        # ``dz`` (exact per-pivot objective change) is carried, so no O(m)
+        # objective reduction is paid per iteration.
         if track_stall:
-            z = jnp.sum(cB * bfs)
-            progressed = jnp.abs(z - z_prev) > 1e-6 * (jnp.abs(z) + 1.0)
+            progressed = jnp.abs(dz_prev) > 1e-6 * (jnp.abs(z) + 1.0)
             stall = jnp.where(progressed, 0, stall + 1)
             bland = jnp.where(
                 progressed, 0, jnp.where(stall >= stall_limit, 1, bland)
             )
             use_bland = bland != 0
         else:
-            z = z_prev
             use_bland = jnp.zeros((), jnp.bool_)
 
         if dual:
+            pen = pen_ref[0]  # (1, n)
             # ---- dual: leaving row first, then entering column ----------
             neg = bfs < -feas_tol
-            viable = jnp.any(neg)
             if dantzig:
                 worst = jnp.min(bfs)
+                viable = worst < -feas_tol
                 leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
                 if track_stall:  # stalled: first infeasible row (Bland)
                     leave_b = jnp.min(jnp.where(neg, lane_m, m))
                     leave = jnp.where(use_bland, leave_b, leave)
             else:
                 leave = jnp.min(jnp.where(neg, lane_m, m))
+                viable = leave < m
             leave = jnp.where(viable, leave, 0)
             # w = inv_B[leave, :] built ROW-oriented (a (m,1)->(1,m) reshape
             # would be a Mosaic transpose): contract e_leave with invBT dim 1
@@ -186,20 +208,19 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
             w = _dotg(onehot_lrow, invBT, 1, 1)  # (1, m)
             y = _dotg(cB, invBT, 1, 1)  # (1, m)
             if a_resident:
-                A = a_buf[...]
-                urow = _dotg(w, A, 1, 0)
-                r = c_ref[0] - _dotg(y, A, 1, 0)
+                urow = _dotg(w, a_buf[...], 1, 1)  # (1, n)
+                r = c_ref[0] - _dotg(y, a_buf[...], 1, 1)
             else:
                 _price_rows(jnp.concatenate([y, w], axis=0))
                 r = c_ref[0] - r_buf[...]
                 urow = u_buf[...]
             cand = (urow < -pivot_tol) & (pen == 0.0)
-            any_cand = jnp.any(cand)
             theta_d = jnp.where(
                 cand, -r / jnp.where(cand, urow, -jnp.ones_like(urow)),
                 jnp.inf,
             )
             best_d = jnp.min(theta_d)
+            any_cand = best_d < jnp.inf
             enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
             enter = jnp.where(any_cand, enter, 0)
             do_pivot = viable & any_cand
@@ -209,11 +230,48 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 jnp.where(viable & jnp.logical_not(any_cand),
                           st.DUAL_UNBOUNDED, st.RUNNING),
             )
-        else:
-            # ---- primal: pricing, then entering selection ---------------
+        elif partial:
+            # ---- primal, sectional pricing: one (n_blk, m) A^T section --
+            start = sec * n_blk
             y = _dotg(cB, invBT, 1, 1)  # (1, m)
             if a_resident:
-                r = c_ref[0] - _dotg(y, a_buf[...], 1, 0) + pen
+                at_sec = a_buf[pl.ds(start, n_blk), :]  # sublane slice
+            else:
+                sec_dma = pltpu.make_async_copy(
+                    AT_hbm.at[i, pl.ds(start, n_blk), :], a_buf, sem.at[1]
+                )
+                sec_dma.start()
+                sec_dma.wait()
+                at_sec = a_buf[...]
+            c_sec = c_ref[0, pl.ds(sec, 1), :]  # (1, n_blk) sublane slice
+            pen_sec = pen_ref[0, pl.ds(sec, 1), :]
+            r_sec = c_sec - _dotg(y, at_sec, 1, 1) + pen_sec  # (1, n_blk)
+            negs = r_sec < -opt_tol
+            if dantzig:
+                best = jnp.min(r_sec)
+                enter_loc = jnp.min(
+                    jnp.where(r_sec == best, lane_blk, n_blk)
+                )
+                eligible = best < -opt_tol
+                if track_stall:  # stalled: first eligible IN SECTION
+                    enter_b = jnp.min(jnp.where(negs, lane_blk, n_blk))
+                    enter_loc = jnp.where(use_bland, enter_b, enter_loc)
+            else:
+                enter_loc = jnp.min(jnp.where(negs, lane_blk, n_blk))
+                eligible = enter_loc < n_blk
+            enter_loc = jnp.where(eligible, enter_loc, 0)
+            enter = start + enter_loc
+            # exhausted section: rotate; S consecutive empties under an
+            # unchanged basis have priced every column -> optimality proof
+            empty = jnp.where(eligible, 0, empty + 1)
+            sec = jnp.where(eligible, sec, lax.rem(sec + 1, jnp.int32(S)))
+            swept = empty >= S
+        else:
+            # ---- primal: pricing, then entering selection ---------------
+            pen = pen_ref[0]  # (1, n)
+            y = _dotg(cB, invBT, 1, 1)  # (1, m)
+            if a_resident:
+                r = c_ref[0] - _dotg(y, a_buf[...], 1, 1) + pen
             else:
                 _price_rows(y)
                 r = c_ref[0] - r_buf[...] + pen
@@ -227,13 +285,15 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                     enter = jnp.where(use_bland, enter_b, enter)
             else:
                 enter = jnp.min(jnp.where(negr, lane_n, n))
-                eligible = jnp.any(negr)
+                eligible = enter < n
             enter = jnp.where(eligible, enter, 0)
 
-        # ---- entering column (both modes) -------------------------------
+        # ---- entering column: A[:, enter] == A^T[enter, :] --------------
         if a_resident:
-            onehot_n = jnp.where(lane_n == enter, 1.0, 0.0)
-            a_row = _dotg(onehot_n, a_buf[...], 1, 1)  # (1, m) = A[:,enter]^T
+            a_row = a_buf[pl.ds(enter, 1), :]  # (1, m) free sublane slice
+        elif partial:
+            # the entering column is inside the just-DMA'd section
+            a_row = a_buf[pl.ds(enter_loc, 1), :]
         else:
             # one contiguous DMA: row `enter` of A^T
             pltpu.make_async_copy(
@@ -247,61 +307,129 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
 
         if not dual:
             pos = d > pivot_tol
-            any_pos = jnp.any(pos)
             # bfs clamped at 0 (refactorization noise; see engine.primal_step)
-            bfs_nn = jnp.maximum(bfs_ref[0], 0.0)
+            bfs_nn = jnp.maximum(bfs, 0.0)
             theta = jnp.where(
                 pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)),
                 jnp.inf,
             )
             best_t = jnp.min(theta)
+            any_pos = best_t < jnp.inf  # min(theta) finite iff some d>tol
             leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
             leave = jnp.where(any_pos, leave, 0)
             do_pivot = eligible & any_pos
-            stop_status = jnp.where(
-                jnp.logical_not(eligible),
-                st.OPTIMAL,
-                jnp.where(eligible & jnp.logical_not(any_pos),
-                          st.PRIMAL_UNBOUNDED, st.RUNNING),
-            )
+            if partial:
+                stop_status = jnp.where(
+                    jnp.logical_not(eligible) & swept,
+                    st.OPTIMAL,
+                    jnp.where(eligible & jnp.logical_not(any_pos),
+                              st.PRIMAL_UNBOUNDED, st.RUNNING),
+                )
+            else:
+                stop_status = jnp.where(
+                    jnp.logical_not(eligible),
+                    st.OPTIMAL,
+                    jnp.where(eligible & jnp.logical_not(any_pos),
+                              st.PRIMAL_UNBOUNDED, st.RUNNING),
+                )
 
         at_leave = lane_m == leave  # (1, m)
-        d_l = jnp.sum(jnp.where(at_leave, d, 0.0))
+        # masked one-nonzero extracts, PACKED: one (3, m) lane reduction
+        # instead of three separate full-row reductions (bit-exact: each
+        # row has a single surviving element); see solve_kernel
+        rows_m = jnp.concatenate(
+            [jnp.where(at_leave, d, 0.0),
+             jnp.where(at_leave, bfs, 0.0),
+             jnp.where(at_leave, basis.astype(jnp.float32), 0.0)],
+            axis=0,
+        )  # (3, m)
+        sums_m = jnp.sum(rows_m, axis=1, keepdims=True)  # (3, 1)
+        d_l = sums_m[0, 0]
+        bfs_l = sums_m[1, 0]
+        # basis indices < 2^24: exact through the f32 packing
+        leaving_col = sums_m[2, 0].astype(jnp.int32)
+        if partial:
+            at_loc = lane_blk == enter_loc  # section-local extract
+            rows_n = jnp.concatenate(
+                [jnp.where(at_loc, c_sec, 0.0),
+                 jnp.where(at_loc, r_sec, 0.0)], axis=0,
+            )  # (2, n_blk)
+            sums_n = jnp.sum(rows_n, axis=1, keepdims=True)
+            c_enter = sums_n[0, 0]
+            r_enter = sums_n[1, 0]
+        else:
+            at_enter = lane_n == enter  # (1, n)
+            if track_stall and not dual:
+                rows_n = jnp.concatenate(
+                    [jnp.where(at_enter, c_ref[0], 0.0),
+                     jnp.where(at_enter, r, 0.0)], axis=0,
+                )  # (2, n)
+                sums_n = jnp.sum(rows_n, axis=1, keepdims=True)  # (2, 1)
+                c_enter = sums_n[0, 0]
+                r_enter = sums_n[1, 0]
+            else:
+                c_enter = jnp.sum(jnp.where(at_enter, c_ref[0], 0.0))
+                r_enter = jnp.zeros((), jnp.float32)
         safe = jnp.where(d_l == 0, jnp.ones_like(d_l), d_l)
         u = -d / safe
         u = jnp.where(at_leave, 1.0 / safe - 1.0, u)
         u = jnp.where(do_pivot, u, jnp.zeros_like(u))  # (1, m)
 
-        # ---- rank-1 eta update of inv_B^T (in VMEM scratch) -------------
-        onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
-        col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1)
-        invbt_buf[...] = invBT + col_l * u
-        bfs = bfs_ref[0]
-        bfs_l = jnp.sum(jnp.where(at_leave, bfs, 0.0))
-        bfs_ref[0] = bfs + u * bfs_l
+        # ---- rank-1 eta update of inv_B^T (in VMEM scratch), predicated:
+        # a no-pivot iteration (terminal check, or an exhausted section in
+        # partial mode) skips the O(m^2) read-modify-write entirely
+        @pl.when(do_pivot)
+        def _eta():
+            onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
+            col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1)
+            invbt_buf[...] = invBT + col_l * u
+            bfs_ref[0] = bfs + u * bfs_l
 
-        # ---- bookkeeping: basis, c_B, penalty ---------------------------
-        leaving_col = jnp.sum(jnp.where(at_leave, basis, 0))
-        basis_ref[0] = jnp.where(
-            at_leave & do_pivot, enter, basis
-        ).astype(jnp.int32)
-        c_enter = jnp.sum(jnp.where(lane_n == enter, c_ref[0], 0.0))
-        cB_new = jnp.where(at_leave, c_enter, cB)
-        cB_ref[0] = jnp.where(do_pivot, cB_new, cB)
-        pen_new = jnp.where(
-            lane_n == enter,
-            jnp.inf,
-            jnp.where(lane_n == leaving_col, apen_ref[0], pen),
-        )
-        pen_ref[0] = jnp.where(do_pivot, pen_new, pen)
+            # ---- bookkeeping: basis, c_B, penalty -----------------------
+            basis_ref[0] = jnp.where(at_leave, enter, basis).astype(jnp.int32)
+            cB_ref[0] = jnp.where(at_leave, c_enter, cB)
+            if partial:
+                # pen is (S, n_blk); global column ids via a static grid
+                iota_s = lax.broadcasted_iota(jnp.int32, (S, n_blk), 0)
+                iota_l = lax.broadcasted_iota(jnp.int32, (S, n_blk), 1)
+                gidx = iota_s * n_blk + iota_l
+                pen2 = pen_ref[0]
+                pen_ref[0] = jnp.where(
+                    gidx == enter,
+                    jnp.inf,
+                    jnp.where(gidx == leaving_col, apen_ref[0], pen2),
+                )
+            else:
+                pen2 = pen_ref[0]
+                pen_ref[0] = jnp.where(
+                    at_enter,
+                    jnp.inf,
+                    jnp.where(lane_n == leaving_col, apen_ref[0], pen2),
+                )
+
+        # exact objective change of this pivot (see solve_kernel)
+        if track_stall:
+            if dual:
+                dz = -best_d * bfs_l
+            else:
+                dz = best_t * r_enter
+            dz = jnp.where(do_pivot, dz, 0.0)
+        else:
+            dz = jnp.zeros((), jnp.float32)
 
         return (seg + 1, iters + 1, stop_status.astype(jnp.int32),
-                z, stall, bland)
+                z + dz, dz, stall, bland, sec, empty)
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
     status0 = status_in_ref[0, 0, 0]
-    carry0 = (seg0, iters0, status0, jnp.asarray(jnp.inf, jnp.float32),
+    if track_stall:  # progress scale: objective at segment entry
+        z0 = jnp.sum(cB_in_ref[0] * bfs_in_ref[0])
+    else:
+        z0 = jnp.zeros((), jnp.float32)
+    carry0 = (seg0, iters0, status0, z0,
+              jnp.asarray(jnp.inf, jnp.float32),
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     out = lax.while_loop(cond, body, carry0)
     iters_out_ref[0, 0, 0] = out[1]
@@ -316,34 +444,41 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "a_resident", "n_blk", "stall_limit",
-                     "interpret"),
-    donate_argnums=(5, 6, 7, 8, 9),
+                     "partial", "interpret"),
+    donate_argnums=(4, 5, 6, 7, 8),
 )
-def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
+def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
                          pen, iters, status, *, seg_len: int, pricing: int,
                          opt_tol: float, pivot_tol: float, dual: bool = False,
                          feas_tol: float = 1e-6, a_resident: bool = True,
                          n_blk: int = 256, stall_limit: int = 0,
-                         interpret=None):
+                         partial: bool = False, interpret=None):
     """Run up to ``seg_len`` simplex iterations per lane (large-m regime).
 
     Shapes as :func:`solve_kernel.solve_segment` minus the devex weights:
-    ``A[B, m, n]`` (HBM), ``AT[B, n, m]`` (HBM; pass a ``[B, 1, 128]`` dummy
-    when ``a_resident``), ``c_row/apen/pen[B, 1, n]``, ``maxiters[1,1,1]``,
-    ``invBT[B, m, m]`` (HBM-resident, updated in place), ``bfs/cB/basis
-    [B, 1, m]``, ``iters/status[B, 1, 1]`` i32.  Requires ``n % n_blk == 0``
-    in streaming mode.
+    ``AT[B, n, m]`` (HBM; the kernel works exclusively from the transposed
+    matrix -- see module docstring), ``c_row/apen/pen[B, 1, n]``,
+    ``maxiters[1,1,1]``, ``invBT[B, m, m]`` (HBM-resident, updated in
+    place), ``bfs/cB/basis[B, 1, m]``, ``iters/status[B, 1, 1]`` i32.
+    Requires ``n % n_blk == 0`` in streaming or partial mode.
+
+    ``partial=True`` (primal only) enables sectional pricing: the
+    ``c_row/apen/pen`` rows are handled internally as ``(S, n_blk)`` tiles
+    (reshaped views -- identical memory), one section priced per iteration.
+    The returned ``pen`` keeps the ``[B, 1, n]`` contract.
 
     Returns ``(invBT, bfs, cB, basis, pen, iters, status)``.
     """
     if interpret is None:
         interpret = _interpret_default()
-    B, m, n = A.shape
-    if not a_resident and n % n_blk != 0:
+    B, n, m = AT.shape
+    if (partial or not a_resident) and n % n_blk != 0:
         raise ValueError(f"n={n} not divisible by n_blk={n_blk}")
+    if partial and dual:
+        raise ValueError("partial pricing: primal mode only")
     kernel = functools.partial(
         _stream_kernel, seg_len, pricing, opt_tol, pivot_tol, dual,
-        feas_tol, a_resident, n_blk, stall_limit,
+        feas_tol, a_resident, n_blk, stall_limit, partial,
     )
 
     def lane(i):
@@ -355,18 +490,30 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
     vmem = pltpu.VMEM
     smem = pltpu.SMEM
     anym = pl.ANY
-    a_scr = (
-        pltpu.VMEM((m, n), jnp.float32) if a_resident
-        else pltpu.VMEM((2, m, n_blk), jnp.float32)
-    )
+    if partial:  # (S, n_blk) tiling: a section is one sublane slice
+        S = n // n_blk
+        row_blk = (1, S, n_blk)
+        c_row = c_row.reshape(B, S, n_blk)
+        apen = apen.reshape(B, S, n_blk)
+        pen = pen.reshape(B, S, n_blk)
+        pen_shape = (B, S, n_blk)
+    else:
+        row_blk = (1, 1, n)
+        pen_shape = (B, 1, n)
+    if a_resident:
+        a_scr = pltpu.VMEM((n, m), jnp.float32)  # whole A^T slab
+    elif partial:
+        a_scr = pltpu.VMEM((n_blk, m), jnp.float32)  # one section
+    else:
+        a_scr = pltpu.VMEM((2, n_blk, m), jnp.float32)  # double-buffered
+    r_len = 128 if partial else n  # partial never builds a full (1, n) row
     outs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=anym),  # A (full, HBM)
-            pl.BlockSpec(memory_space=anym),  # AT (full, HBM / dummy)
-            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # c_row
-            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # apen
+            pl.BlockSpec(memory_space=anym),  # AT (full, HBM)
+            pl.BlockSpec(row_blk, lane, memory_space=vmem),  # c_row
+            pl.BlockSpec(row_blk, lane, memory_space=vmem),  # apen
             pl.BlockSpec((1, 1, 1), shared, memory_space=smem),  # maxiters
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # iters
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # status
@@ -374,14 +521,14 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # bfs
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # cB
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # basis
-            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # pen
+            pl.BlockSpec(row_blk, lane, memory_space=vmem),  # pen
         ],
         out_specs=(
             pl.BlockSpec(memory_space=anym),  # invBT
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # bfs
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # cB
             pl.BlockSpec((1, 1, m), lane, memory_space=vmem),  # basis
-            pl.BlockSpec((1, 1, n), lane, memory_space=vmem),  # pen
+            pl.BlockSpec(row_blk, lane, memory_space=vmem),  # pen
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # iters
             pl.BlockSpec((1, 1, 1), lane, memory_space=smem),  # status
         ),
@@ -390,7 +537,7 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
             jax.ShapeDtypeStruct((B, 1, m), bfs.dtype),
             jax.ShapeDtypeStruct((B, 1, m), cB.dtype),
             jax.ShapeDtypeStruct((B, 1, m), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, n), pen.dtype),
+            jax.ShapeDtypeStruct(pen_shape, pen.dtype),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
@@ -398,11 +545,11 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
             pltpu.VMEM((m, m), jnp.float32),  # invbt_buf
             a_scr,  # a_buf
             pltpu.VMEM((1, m), jnp.float32),  # arow_buf
-            pltpu.VMEM((1, n), jnp.float32),  # r_buf
-            pltpu.VMEM((1, n), jnp.float32),  # u_buf
+            pltpu.VMEM((1, r_len), jnp.float32),  # r_buf
+            pltpu.VMEM((1, r_len), jnp.float32),  # u_buf
             pltpu.SemaphoreType.DMA((4,)),  # [0] factor/misc, [1-2] A, [3] col
         ],
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4},
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         interpret=interpret,
         # the default scoped-VMEM cap is 16 MB; v5e physically has 128 MiB
         # of VMEM, so let Mosaic use most of it (Mosaic's scoped allocation
@@ -410,5 +557,7 @@ def solve_segment_stream(A, AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(A, AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
+    )(AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
+    if partial:  # restore the [B, 1, n] row contract for the driver
+        outs = outs[:4] + (outs[4].reshape(B, 1, n),) + outs[5:]
     return outs

@@ -81,6 +81,67 @@ def test_dual_parity_vs_vmapped_engine(variant, n_blk):
     )
 
 
+def _setup_feasible(B=6, m=8, n=16, seed=7):
+    """Like _setup but with h > 0, so the slack basis is primal-feasible
+    and a raw phase-2 run from it has a well-defined unique optimum
+    (the plain _setup instances have negative h entries: fine for
+    pivot-path parity, meaningless for cross-rule cost comparison)."""
+    c, G, h = random_inequality_lps(B, m, n, seed=seed)
+    h = np.abs(h) + 0.1
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    n_std = cs.shape[1]
+    basis = jnp.broadcast_to(jnp.arange(n, n_std, dtype=jnp.int32), (B, m))
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(As, bs, basis)
+    allowed = jnp.ones((n_std,), bool)
+    return cs, As, bs, states, allowed
+
+
+@pytest.mark.parametrize("variant,n_blk", [("resident", 8), ("stream", 8)])
+@pytest.mark.parametrize("pricing", ["dantzig", "bland"])
+def test_partial_pricing_reaches_same_optimum(pricing, variant, n_blk):
+    """Sectional pricing pivots differently but must land the same optima."""
+    cs, As, bs, states, allowed = _setup_feasible(B=6, m=8, n=16, seed=7)
+    cfg = SolverConfig(pricing=pricing, refactor_every=16)
+    ref = run_batched(cs, As, bs, states, allowed, 400,
+                      cfg.replace(kernels="xla"))
+    out = run_batched_stream(
+        cs, As, bs, states, allowed, 400,
+        cfg.replace(kernels="pallas", partial_pricing=True),
+        variant=variant, n_blk=n_blk,
+    )
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    c_np = np.asarray(cs)
+    for res in (ref, out):
+        assert (np.asarray(res.status) == st.OPTIMAL).all()
+    cost_ref = np.einsum(
+        "bm,bm->b", np.take_along_axis(c_np, np.asarray(ref.basis), axis=1),
+        np.asarray(ref.bfs),
+    )
+    cost_out = np.einsum(
+        "bm,bm->b", np.take_along_axis(c_np, np.asarray(out.basis), axis=1),
+        np.asarray(out.bfs),
+    )
+    np.testing.assert_allclose(cost_out, cost_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_partial_pricing_detects_unbounded():
+    c = jnp.asarray([[-1.0, 0.0]], jnp.float32)
+    A = jnp.asarray([[[1.0, -1.0]]], jnp.float32)
+    b = jnp.asarray([[1.0]], jnp.float32)
+    basis = jnp.asarray([[0]], jnp.int32)
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    allowed = jnp.ones((2,), bool)
+    out = run_batched_stream(
+        c, A, b, states, allowed, 50,
+        SolverConfig(refactor_every=0, partial_pricing=True,
+                     pricing="dantzig"),
+        variant="stream", n_blk=2,
+    )
+    assert int(np.asarray(out.status)[0]) == st.PRIMAL_UNBOUNDED
+    assert int(np.asarray(out.basis)[0, 0]) == 0
+
+
 def test_unbounded_lane_keeps_consistent_state():
     # one clearly unbounded lane in the batch: min -x, x - s = 1 (x free up)
     c = jnp.asarray([[-1.0, 0.0]], jnp.float32)
