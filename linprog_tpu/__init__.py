@@ -28,6 +28,10 @@ from .api import (
     PrimalRevisedSimplexSolver,
     SimplexSolver,
 )
+from .crossover import (
+    crossover_batch_canonical,
+    pdhg_crossover_batch_canonical,
+)
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
 from .config import DEFAULT_CONFIG, SolverConfig
