@@ -56,10 +56,13 @@ def main():
     real_variant = engine_batched._stream_variant
     paths = [("stream", lambda mm, nn, **k: ("stream", args.n_blk))]
     if not args.skip_xla:
-        paths.append(("xla", real_variant))  # returns None at 2048 -> XLA
+        paths.append(("xla", lambda mm, nn, **k: None))  # force XLA fallback
     out = {}
     for name, sv in paths:
         engine_batched._stream_variant = sv
+        # the dispatch monkeypatch is read at TRACE time; identical static
+        # args would otherwise hit the previous leg's jit cache entry
+        jax.clear_caches()
         try:
             def run():
                 return solve_batch_two_phase(cs, As, bs, args.maxiters,

@@ -59,6 +59,9 @@ def main():
     out = {}
     for name, fits in [("mega", real_fits), ("stream", lambda *a, **k: False)]:
         engine_batched._mega_kernel_fits = fits
+        # the dispatch monkeypatch is read at TRACE time; identical static
+        # args would otherwise hit the previous leg's jit cache entry
+        jax.clear_caches()
         try:
             def run():
                 return solve_batch_two_phase(cs, As, bs, args.maxiters,

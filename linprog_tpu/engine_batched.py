@@ -358,11 +358,16 @@ def _stream_variant(m: int, n: int, itemsize: int = 4,
     resident = (m * n + 2 * m * m) * itemsize + rows
     if resident <= vmem_budget:
         return ("resident", 0)
+    # streaming mode holds only the (2, n_blk, m) DMA slots + the factor
+    # (+ its eta-update temp); everything is manually-managed scratch with
+    # no grid double-buffering, so the budget is the 100 MB scoped cap
+    # with ~2x headroom rather than the resident-mode conservative 24 MB.
+    # Validated on hardware at m=2048 (benchmarks/stream_m2048.py).
     for n_blk in (512, 256, 128):
         if n % n_blk:
             continue
         stream = (2 * m * n_blk + 2 * m * m) * itemsize + rows
-        if stream <= vmem_budget:
+        if stream <= 48 * 1024 * 1024:
             return ("stream", n_blk)
     return None
 

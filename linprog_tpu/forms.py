@@ -82,7 +82,9 @@ def bounds_to_rows(c, A, b, lb=None, ub=None, dtype=np.float32):
     else:
         ub = np.asarray(ub, dtype=dtype)
 
-    lb_idx = np.flatnonzero(~np.isclose(lb, 0.0) & np.isfinite(lb))
+    # exact comparison: lb = 1e-9 is a real constraint, not 0 (the old
+    # isclose() treated it as free and silently shifted the optimum)
+    lb_idx = np.flatnonzero((lb != 0.0) & np.isfinite(lb))
     ub_idx = np.flatnonzero(np.isfinite(ub))
     k1, k2 = lb_idx.size, ub_idx.size
     k = k1 + k2

@@ -66,6 +66,10 @@ from .. import status as st
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# above this m the rank-1 eta update runs row-blocked (see _eta below);
+# module-level so tests can exercise the blocked path at CPU-sized m
+_ETA_BLOCK_ABOVE_M = 1024
+
 
 def _interpret_default():
     if jax.default_backend() in ("tpu", "axon"):
@@ -295,14 +299,27 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
             # the entering column is inside the just-DMA'd section
             a_row = a_buf[pl.ds(enter_loc, 1), :]
         else:
-            # one contiguous DMA: row `enter` of A^T
+            # one contiguous DMA: rows [enter_al, enter_al+8) of A^T.
+            # Mosaic requires HBM slices 8-aligned in the sublane dim
+            # ((8, 128) tiling), so fetch the aligned 8-row block holding
+            # the entering row and select it with a VMEM sublane slice.
+            # (fetch = n for sub-8 test shapes; n % 8 == 0 otherwise via
+            # the n_blk divisibility requirement, so enter < n already
+            # implies enter_al <= n - 8 -- no clamp, and the bare
+            # (enter // 8) * 8 form is what Mosaic's divisibility prover
+            # accepts for the HBM slice offset)
+            fetch = 8 if n >= 8 else n
+            if n >= 8:
+                enter_al = pl.multiple_of((enter // 8) * 8, 8)
+            else:
+                enter_al = jnp.zeros((), jnp.int32)
             pltpu.make_async_copy(
-                AT_hbm.at[i, pl.ds(enter, 1), :], arow_buf, sem.at[3]
+                AT_hbm.at[i, pl.ds(enter_al, fetch), :], arow_buf, sem.at[3]
             ).start()
             pltpu.make_async_copy(
-                AT_hbm.at[i, pl.ds(enter, 1), :], arow_buf, sem.at[3]
+                AT_hbm.at[i, pl.ds(enter_al, fetch), :], arow_buf, sem.at[3]
             ).wait()
-            a_row = arow_buf[...]
+            a_row = arow_buf[pl.ds(enter - enter_al, 1), :]
         d = _dotg(a_row, invBT, 1, 0)  # (1, m) = (inv_B a)^T
 
         if not dual:
@@ -382,7 +399,27 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         def _eta():
             onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
             col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1)
-            invbt_buf[...] = invBT + col_l * u
+            if m > _ETA_BLOCK_ABOVE_M:
+                # row-blocked in-place update: the single-shot
+                # ``invbt_buf[...] = invBT + col_l * u`` makes Mosaic
+                # materialize ~2 extra m x m temporaries (the broadcast
+                # product and the sum), which alone blow the scoped-VMEM
+                # cap at m = 2048 (measured 110.95 MB vs the 100 MB
+                # limit).  512-row blocks cap the temp at 4 MB.
+                RB = 512 if m > 512 else 8
+                for r0 in range(0, (m // RB) * RB, RB):
+                    invbt_buf[pl.ds(r0, RB), :] = (
+                        invbt_buf[pl.ds(r0, RB), :]
+                        + lax.slice(col_l, (r0, 0), (r0 + RB, 1)) * u
+                    )
+                if m % RB:
+                    r0 = (m // RB) * RB
+                    invbt_buf[pl.ds(r0, m - r0), :] = (
+                        invbt_buf[pl.ds(r0, m - r0), :]
+                        + lax.slice(col_l, (r0, 0), (m, 1)) * u
+                    )
+            else:
+                invbt_buf[...] = invBT + col_l * u
             bfs_ref[0] = bfs + u * bfs_l
 
             # ---- bookkeeping: basis, c_B, penalty -----------------------
@@ -544,7 +581,7 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         scratch_shapes=[
             pltpu.VMEM((m, m), jnp.float32),  # invbt_buf
             a_scr,  # a_buf
-            pltpu.VMEM((1, m), jnp.float32),  # arow_buf
+            pltpu.VMEM((min(8, n), m), jnp.float32),  # arow_buf (aligned fetch)
             pltpu.VMEM((1, r_len), jnp.float32),  # r_buf
             pltpu.VMEM((1, r_len), jnp.float32),  # u_buf
             pltpu.SemaphoreType.DMA((4,)),  # [0] factor/misc, [1-2] A, [3] col

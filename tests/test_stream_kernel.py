@@ -158,6 +158,29 @@ def test_unbounded_lane_keeps_consistent_state():
     assert int(np.asarray(out.basis)[0, 0]) == 0
 
 
+def test_blocked_eta_update_parity(monkeypatch):
+    """The row-blocked in-place eta path (large-m VMEM shape) must be
+    pivot-exact vs the single-shot update."""
+    import linprog_tpu.ops.stream_kernel as sk
+
+    cs, As, bs, states, allowed = _setup(B=4, m=12, n=20, seed=2)
+    cfg = SolverConfig(pricing="dantzig", refactor_every=16)
+    ref = run_batched_stream(cs, As, bs, states, allowed, 200,
+                             cfg.replace(kernels="pallas"),
+                             variant="stream", n_blk=4)
+    monkeypatch.setattr(sk, "_ETA_BLOCK_ABOVE_M", 4)  # m=12 -> blocked (8+4)
+    jax.clear_caches()  # the threshold is read at trace time
+    out = run_batched_stream(cs, As, bs, states, allowed, 200,
+                             cfg.replace(kernels="pallas"),
+                             variant="stream", n_blk=4)
+    jax.clear_caches()
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    np.testing.assert_allclose(
+        np.asarray(out.bfs), np.asarray(ref.bfs), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_stream_variant_dispatch():
     # small / mid shapes fit the resident variant under the raised
     # 100 MB vmem_limit (24 MB raw-operand budget after the measured 4x
@@ -169,8 +192,12 @@ def test_stream_variant_dispatch():
     # streaming in (m, n_blk) blocks
     v = _stream_variant(1400, 4224)
     assert v is not None and v[0] == "stream"
-    # far past the ceiling: no pallas variant
-    assert _stream_variant(2048, 6144) is None
+    # m = 2048 still fits streaming under the 48 MB manually-managed
+    # scratch budget (validated on hardware, benchmarks/stream_m2048.py)
+    v = _stream_variant(2048, 6144)
+    assert v is not None and v[0] == "stream"
+    # past the factor ceiling (2 m^2 alone): no pallas variant
+    assert _stream_variant(3072, 9216) is None
 
 
 def test_run_batched_dispatches_streaming(monkeypatch):
