@@ -32,6 +32,8 @@ def main():
                     help="comma-separated variant names (e.g. 'full')")
     ap.add_argument("--stall", type=int, default=0,
                     help="stall_limit (bench default is 24; 0 disables)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="inner-loop unroll factor (SolverConfig.unroll)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +96,7 @@ def main():
                 basis, pen, gamma, it, stt, seg_len=seg, pricing=1,
                 opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
                 use_at=True, ablate=ablate, stall_limit=args.stall,
+                unroll=args.unroll,
             )
 
         out = call(packed())  # compile + warm

@@ -106,6 +106,13 @@ class SolverConfig:
     # Bland fallback is section-local (documented deviation from the
     # global-index rule).  Ignored outside the streaming primal path.
     partial_pricing: bool = False
+    # Mega-kernel inner-loop unrolling: run `unroll` gated iterations per
+    # while-loop trip, paying the loop condition + carry shuffle 1/unroll
+    # times per pivot.  Each sub-iteration re-checks "still running" and a
+    # lane that terminates mid-group writes nothing, so results are
+    # identical; the only waste is up to unroll-1 no-op iterations at the
+    # end of each lane's solve.  Whole-segment (VMEM-resident) kernel only.
+    unroll: int = 1
     # Terminal double-word polish (linprog_tpu.refine): after the batched
     # two-phase solve, reduced costs are recomputed in split-float/Kahan
     # arithmetic at the terminal basis and up to `polish_pivots` dd-guided
@@ -136,6 +143,8 @@ class SolverConfig:
             raise ValueError(f"unknown kernels impl: {self.kernels!r}")
         if self.refactor_method not in ("inv", "ns"):
             raise ValueError(f"unknown refactor method: {self.refactor_method!r}")
+        if self.unroll < 1:
+            raise ValueError(f"unroll must be >= 1, got {self.unroll}")
 
     @property
     def jnp_dtype(self):

@@ -65,7 +65,7 @@ def _dotg(a, b, a_dim, b_dim):
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
                           use_at: bool, stall_limit: int, ablate: int,
-                          split: bool,
+                          split: bool, unroll: int,
                           # inputs
                           A_ref, AT_ref, Ahl_ref, c_ref, apen_ref,
                           maxiters_ref, iters_in_ref, status_in_ref,
@@ -132,8 +132,16 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         )  # (16, 2n) f32
         return out[0:1, :n] + out[0:1, n:] + out[1:2, :n]
 
-    def body(carry):
+    def one_iter(carry):
         seg, iters, status, z, dz_prev, stall, bland = carry
+        # Under unrolling the loop condition is only checked every `unroll`
+        # iterations, so each sub-iteration re-derives "may I act" and
+        # gates every state transition on it; a lane that terminates
+        # mid-group recomputes an identical stop state and writes nothing.
+        if unroll > 1:
+            run = (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
+        else:
+            run = jnp.ones((), jnp.bool_)  # guaranteed by the loop cond
         A = None if split else A_ref[0]  # (m, n)
         invBT = invBT_ref[0]  # (m, m) = inv_B^T
         bfs = bfs_ref[0]  # (1, m)
@@ -152,10 +160,15 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         # the changes and is only used as the relative-progress scale.
         if track_stall:
             progressed = jnp.abs(dz_prev) > 1e-6 * (jnp.abs(z) + 1.0)
-            stall = jnp.where(progressed, 0, stall + 1)
-            bland = jnp.where(
-                progressed, 0, jnp.where(stall >= stall_limit, 1, bland)
+            stall_new = jnp.where(progressed, 0, stall + 1)
+            bland_new = jnp.where(
+                progressed, 0, jnp.where(stall_new >= stall_limit, 1, bland)
             )
+            if unroll > 1:
+                stall = jnp.where(run, stall_new, stall)
+                bland = jnp.where(run, bland_new, bland)
+            else:
+                stall, bland = stall_new, bland_new
             use_bland = bland != 0
         else:
             use_bland = jnp.zeros((), jnp.bool_)
@@ -166,10 +179,18 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             if dantzig:  # most-infeasible row (dual Dantzig)
                 worst = jnp.min(bfs)
                 viable = worst < -feas_tol
-                leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
-                if track_stall:  # stalled: first infeasible row (Bland)
-                    leave_b = jnp.min(jnp.where(neg, lane_m, m))
-                    leave = jnp.where(use_bland, leave_b, leave)
+                if track_stall:
+                    # fused: Dantzig argmin and the Bland (first infeasible)
+                    # fallback in ONE packed (2, m) reduction instead of two
+                    # full-row passes (the stalled-lane rule is the default)
+                    sel = jnp.concatenate(
+                        [jnp.where(bfs == worst, lane_m, m),
+                         jnp.where(neg, lane_m, m)], axis=0,
+                    )  # (2, m)
+                    sel_min = jnp.min(sel, axis=1, keepdims=True)  # (2, 1)
+                    leave = jnp.where(use_bland, sel_min[1, 0], sel_min[0, 0])
+                else:
+                    leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
             else:  # bland: first infeasible row (reference rule)
                 leave = jnp.min(jnp.where(neg, lane_m, m))
                 viable = leave < m
@@ -188,7 +209,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
             enter = jnp.where(any_cand, enter, 0)
 
-            do_pivot = viable & any_cand
+            do_pivot = viable & any_cand & run
             stop_status = jnp.where(
                 jnp.logical_not(viable),
                 st.OPTIMAL,
@@ -215,25 +236,33 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 neg = r < -opt_tol
                 enter = lax.rem(seg, jnp.int32(n))
                 eligible = jnp.ones((), jnp.bool_)
-            elif pricing == 2:  # devex: maximize r^2 / gamma over eligible
-                neg = r < -opt_tol
-                gamma = gamma_ref[0]
-                score = jnp.where(neg, (r * r) / gamma, -jnp.inf)
-                best_s = jnp.max(score)
-                eligible = best_s > -jnp.inf
-                enter = jnp.min(jnp.where(score == best_s, lane_n, n))
-            elif dantzig:
-                neg = r < -opt_tol
-                best = jnp.min(r)
-                enter = jnp.min(jnp.where(r == best, lane_n, n))
-                eligible = best < -opt_tol
             else:
                 neg = r < -opt_tol
-                enter = jnp.min(jnp.where(neg, lane_n, n))
-                eligible = enter < n
-            if track_stall:  # stalled lane: first eligible column (Bland)
-                enter_b = jnp.min(jnp.where(neg, lane_n, n))
-                enter = jnp.where(use_bland, enter_b, enter)
+                if pricing == 2:  # devex: maximize r^2 / gamma over eligible
+                    gamma = gamma_ref[0]
+                    score = jnp.where(neg, (r * r) / gamma, -jnp.inf)
+                    best_s = jnp.max(score)
+                    eligible = best_s > -jnp.inf
+                    hot = jnp.where(score == best_s, lane_n, n)
+                elif dantzig:
+                    best = jnp.min(r)
+                    eligible = best < -opt_tol
+                    hot = jnp.where(r == best, lane_n, n)
+                else:
+                    hot = jnp.where(neg, lane_n, n)
+                if track_stall:
+                    # fused: the rule's argmin and the Bland (first
+                    # eligible) stall fallback in ONE packed (2, n)
+                    # reduction instead of two full-row passes
+                    sel = jnp.concatenate(
+                        [hot, jnp.where(neg, lane_n, n)], axis=0
+                    )  # (2, n)
+                    sel_min = jnp.min(sel, axis=1, keepdims=True)  # (2, 1)
+                    enter = jnp.where(use_bland, sel_min[1, 0], sel_min[0, 0])
+                else:
+                    enter = jnp.min(hot)
+                if not dantzig and pricing != 2:
+                    eligible = enter < n
             enter = jnp.where(eligible, enter, 0)
 
             # ---- direction + primal ratio test ---------------------------
@@ -267,7 +296,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
                 leave = jnp.where(any_pos, leave, 0)
 
-            do_pivot = eligible & any_pos
+            do_pivot = eligible & any_pos & run
             stop_status = jnp.where(
                 jnp.logical_not(eligible),
                 st.OPTIMAL,
@@ -362,8 +391,13 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         else:
             dz = jnp.zeros((), jnp.float32)
 
-        return (seg + 1, iters + 1, stop_status.astype(jnp.int32),
-                z + dz, dz, stall, bland)
+        if unroll > 1:
+            status_new = jnp.where(run, stop_status, status).astype(jnp.int32)
+            iters = iters + run.astype(jnp.int32)
+        else:
+            status_new = stop_status.astype(jnp.int32)
+            iters = iters + 1
+        return (seg + 1, iters, status_new, z + dz, dz, stall, bland)
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
@@ -375,6 +409,16 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
     carry0 = (seg0, iters0, status0, z0,
               jnp.asarray(jnp.inf, jnp.float32),
               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    if unroll > 1:
+        # run `unroll` gated iterations per loop trip: the while condition
+        # (and its carry shuffle) is paid 1/unroll times per pivot
+        def body(carry):
+            for _ in range(unroll):
+                carry = one_iter(carry)
+            return carry
+    else:
+        body = one_iter
     out = lax.while_loop(cond, body, carry0)
     iters_out_ref[0, 0, 0] = out[1]
     status_out_ref[0, 0, 0] = out[2]
@@ -384,7 +428,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "use_at", "stall_limit", "ablate", "split",
-                     "interpret"),
+                     "unroll", "interpret"),
     donate_argnums=(6, 7, 8, 9, 10, 11),
 )
 def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
@@ -392,7 +436,8 @@ def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
                   pricing: int, opt_tol: float, pivot_tol: float,
                   dual: bool = False, feas_tol: float = 1e-6,
                   use_at: bool = True, stall_limit: int = 0, ablate: int = 0,
-                  split: bool = False, interpret: bool | None = None):
+                  split: bool = False, unroll: int = 1,
+                  interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
     Shapes: ``A[B, m, n]``, ``AT[B, n, m]``, ``c_row[B, 1, n]``,
@@ -419,7 +464,7 @@ def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
         B, m, n = A.shape
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
-        dual, feas_tol, use_at, stall_limit, ablate, split,
+        dual, feas_tol, use_at, stall_limit, ablate, split, max(1, unroll),
     )
 
     def lane(i):

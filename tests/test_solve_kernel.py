@@ -112,6 +112,23 @@ def test_devex_pricing_reaches_optima():
     )
 
 
+@pytest.mark.parametrize("unroll", [2, 3])
+@pytest.mark.parametrize("stall_limit", [0, 4])
+def test_unrolled_kernel_matches_unroll1(unroll, stall_limit):
+    """Inner-loop unrolling must be bit-identical to unroll=1: every
+    sub-iteration is run-gated, so terminated lanes write nothing."""
+    cfg = SolverConfig(pricing="dantzig", kernels="pallas", refactor_every=0,
+                       stall_limit=stall_limit)
+    c1, A1, bsj, states, allowed = _setup(seed=3)
+    ref = run_batched_pallas(c1, A1, bsj, states, allowed, 100, cfg)
+    out = run_batched_pallas(c1, A1, bsj, states, allowed, 100,
+                             cfg.replace(unroll=unroll))
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.iters), np.asarray(ref.iters))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    np.testing.assert_array_equal(np.asarray(out.bfs), np.asarray(ref.bfs))
+
+
 def test_no_at_column_fetch_matches(monkeypatch):
     """The matmul column-fetch path (use_at=False, for large m) must match
     the resident-A^T path exactly."""
