@@ -208,9 +208,14 @@ def main():
 
     from linprog_tpu.config import SolverConfig
 
+    # refactor_every/unroll tuned on v5e (2026-08, round 2): the
+    # between-segment batched inversion is ~40% of e2e wall time at
+    # seg=192, and unroll=4 cuts the in-kernel per-iteration cost 22%,
+    # shifting the knee: 343 LPs/s (seg=192) -> 388 (seg=320) at m=256,
+    # max rel gap vs HiGHS 7.3e-6 (dd polish holds the accuracy floor).
     cfg = SolverConfig(
-        pricing="dantzig", refactor_every=192, kernels="pallas",
-        refactor_method="inv", polish_pivots=8,
+        pricing="dantzig", refactor_every=320, kernels="pallas",
+        refactor_method="inv", polish_pivots=8, unroll=4,
     )
 
     head = run_size(jax, args.m, args.n, args.chunk, args.chunks,

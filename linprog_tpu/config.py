@@ -111,7 +111,8 @@ class SolverConfig:
     # times per pivot.  Each sub-iteration re-checks "still running" and a
     # lane that terminates mid-group writes nothing, so results are
     # identical; the only waste is up to unroll-1 no-op iterations at the
-    # end of each lane's solve.  Whole-segment (VMEM-resident) kernel only.
+    # end of each lane's solve.  Whole-segment (VMEM-resident) primal/dual
+    # kernel and the bounded-variable kernel; ignored by the streaming path.
     unroll: int = 1
     # Terminal double-word polish (linprog_tpu.refine): after the batched
     # two-phase solve, reduced costs are recomputed in split-float/Kahan

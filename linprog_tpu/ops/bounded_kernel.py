@@ -46,7 +46,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 
 def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
-                    use_at: bool,
+                    use_at: bool, unroll: int,
                     # inputs
                     A_ref, AT_ref, c_ref, lb_ref, ub_ref, maxiters_ref,
                     iters_in_ref, status_in_ref,
@@ -77,6 +77,13 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
 
     def body(carry):
         seg, iters, status = carry
+        # Under unrolling the loop condition is only checked every `unroll`
+        # iterations; each sub-iteration re-derives "may I act" and gates
+        # every state transition on it (same scheme as solve_kernel).
+        if unroll > 1:
+            run = (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
+        else:
+            run = jnp.ones((), jnp.bool_)  # guaranteed by the loop cond
         A = A_ref[0]
         invBT = invBT_ref[0]
         bfs = bfs_ref[0]
@@ -142,8 +149,9 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         delta = jnp.minimum(g1, g2)
 
         unbounded = eligible & jnp.isinf(delta) & jnp.isinf(gamma3)
-        flip = eligible & ~unbounded & (gamma3 <= delta)
-        piv = eligible & ~unbounded & ~flip
+        traverse = gamma3 <= delta
+        flip = eligible & ~unbounded & traverse & run
+        piv = eligible & ~unbounded & ~traverse & run
 
         leave_to_lb = g1 < g2
         leave1 = jnp.min(jnp.where(g1v == g1, lane_m, m))
@@ -198,26 +206,43 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
             st.OPTIMAL,
             jnp.where(unbounded, st.PRIMAL_UNBOUNDED, st.RUNNING),
         )
-        return seg + 1, iters + 1, stop_status.astype(jnp.int32)
+        if unroll > 1:
+            status_new = jnp.where(run, stop_status, status).astype(jnp.int32)
+            iters_new = iters + run.astype(jnp.int32)
+        else:
+            status_new = stop_status.astype(jnp.int32)
+            iters_new = iters + 1
+        return seg + 1, iters_new, status_new
 
     seg0 = jnp.zeros((), jnp.int32)
     iters0 = iters_in_ref[0, 0, 0]
     status0 = status_in_ref[0, 0, 0]
-    out = lax.while_loop(cond, body, (seg0, iters0, status0))
+    if unroll > 1:
+        # `unroll` gated iterations per while trip: the loop condition and
+        # carry shuffle are paid 1/unroll times per pivot
+        def grouped(carry):
+            for _ in range(unroll):
+                carry = body(carry)
+            return carry
+        loop_body = grouped
+    else:
+        loop_body = body
+    out = lax.while_loop(cond, loop_body, (seg0, iters0, status0))
     iters_out_ref[0, 0, 0] = out[1]
     status_out_ref[0, 0, 0] = out[2]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_len", "opt_tol", "pivot_tol", "use_at",
+    static_argnames=("seg_len", "opt_tol", "pivot_tol", "use_at", "unroll",
                      "interpret"),
     donate_argnums=(6, 7, 8, 9, 10, 11, 12),
 )
 def solve_bounded_segment(A, AT, c_row, lb_row, ub_row, maxiters, invBT,
                           bfs, cB, basis, vstate, lbB, ubB, iters, status,
                           *, seg_len: int, opt_tol: float, pivot_tol: float,
-                          use_at: bool = True, interpret=None):
+                          use_at: bool = True, unroll: int = 1,
+                          interpret=None):
     """Up to ``seg_len`` bounded-variable iterations per lane in VMEM.
 
     Shapes: ``A[B,m,n]``, ``AT[B,n,m]`` (or a ``[B,1,128]`` dummy with
@@ -233,6 +258,7 @@ def solve_bounded_segment(A, AT, c_row, lb_row, ub_row, maxiters, invBT,
     B, m, n = A.shape
     kernel = functools.partial(
         _bounded_kernel, seg_len, opt_tol, pivot_tol, use_at,
+        max(1, unroll),
     )
 
     def lane(i):

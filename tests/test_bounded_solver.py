@@ -197,6 +197,37 @@ def test_bounded_mega_kernel_matches_vmapped_engine():
         np.asarray(res_p.x), np.asarray(res_x.x), atol=2e-4, rtol=2e-4)
 
 
+def test_bounded_unrolled_kernel_matches_unroll1():
+    """Bounded-kernel inner-loop unrolling must be bit-identical to
+    unroll=1: every sub-iteration is run-gated, so lanes that terminate
+    mid-group write nothing."""
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu import SolverConfig
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu import status as st
+    from linprog_tpu.batch import solve_batch_bounded
+    from linprog_tpu.generators import device_bounded_lps
+
+    B, m, n = 8, 10, 12
+    c, A, b, lb, ub = device_bounded_lps(jax.random.PRNGKey(13), B, m, n)
+    basis = jnp.broadcast_to(jnp.arange(n, n + m, dtype=jnp.int32), (B, m))
+    vs = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.int8),
+         jnp.full((B, m), int(bnd.BASIC), jnp.int8)], axis=1)
+    cfg = SolverConfig(refactor_every=16, kernels="pallas")
+    ref = solve_batch_bounded(c, A, b, lb, ub, basis, vs, 500, cfg)
+    assert (np.asarray(ref.status) == st.OPTIMAL).all()
+    for u in (2, 3):
+        out = solve_batch_bounded(c, A, b, lb, ub, basis, vs, 500,
+                                  cfg.replace(unroll=u))
+        assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+        assert np.array_equal(np.asarray(out.iters), np.asarray(ref.iters))
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+        np.testing.assert_array_equal(np.asarray(out.x), np.asarray(ref.x))
+
+
 def test_bounded_mega_kernel_bazaraa():
     """Textbook ground truth through the mega-kernel path."""
     import jax.numpy as jnp
