@@ -263,15 +263,20 @@ def run_bounded_batched_pallas(c, A, b, lb, ub, state: BoundedState,
         carry = seg(carry)
         invBT, bfs, cB, basis, vstate, lbB, ubB, iters, status = carry
         flat_basis = basis[:, 0, :]
-        inv = jnp.linalg.inv(
-            jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
-        )
+        run0 = status[:, 0, 0] == st.RUNNING
         # exact bfs: x_B = inv_B (b - A_N x_N) with x_N from var_state
         vs = vstate[:, 0, :]
         x_n = jnp.where(vs == 0.0, lb, jnp.where(vs == 1.0, ub, 0.0))
-        fresh_bfs = jnp.einsum(
-            "bmk,bk->bm", inv, b - jnp.einsum("bmn,bn->bm", A, x_n)
-        )
+        rhs = b - jnp.einsum("bmn,bn->bm", A, x_n)
+        if cfg.compact_refactor:
+            from .engine_batched import compact_refactorize
+
+            inv, fresh_bfs = compact_refactorize(A, rhs, flat_basis, run0)
+        else:
+            inv = jnp.linalg.inv(
+                jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
+            )
+            fresh_bfs = jnp.einsum("bmk,bk->bm", inv, rhs)
         ok = jnp.all(jnp.isfinite(inv), axis=(1, 2)) & jnp.all(
             jnp.isfinite(fresh_bfs), axis=1
         )

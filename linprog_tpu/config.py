@@ -121,6 +121,14 @@ class SolverConfig:
     # distinguish from optimal.  0 disables.  Cost: a few O(mn) passes at
     # the end of the solve (~<10% of total).
     polish_pivots: int = 0
+    # Compact the between-segment/chunk exact refactorization to the
+    # still-running lanes: the batched inversion otherwise runs over ALL
+    # lanes every segment even when only a tail of the batch is still
+    # active (measured ~40% of e2e wall at m=256/seg=192).  Running lanes
+    # are stably sorted to the front and only the smallest power-of-two
+    # prefix covering them is inverted (lax.switch) -- bit-exact per
+    # running lane, so pivot paths are unchanged.
+    compact_refactor: bool = True
     dtype: str = "float32"
     kernels: str = "xla"  # "xla" | "pallas" -- batched hot-op implementation
     # refactorization method between segments/chunks:

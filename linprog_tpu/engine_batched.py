@@ -129,6 +129,67 @@ def batched_refactorize(A, b, state: SimplexState) -> SimplexState:
     return state._replace(inv_B=inv_B, bfs=bfs)
 
 
+def compact_refactorize(A, b, basis, run):
+    """Exact refactorization computed only for the still-running lanes.
+
+    ``b`` is the per-lane rhs the fresh bfs is solved against (plain
+    engine: the problem rhs; bounded engine: ``b - A x_N``).
+
+    The between-segment batched inversion runs over ALL ``B`` lanes even
+    when only a handful are still active -- measured at ~40% of e2e wall
+    at m=256/seg=192, and the dominant share of that is spent re-inverting
+    lanes that already terminated (the lane-iteration distribution has a
+    long tail, so late segments have few runners).  This sorts running
+    lanes to the front (stable, so per-lane results are reproducible) and
+    inverts only the smallest power-of-two prefix that covers them via
+    ``lax.switch``; everyone else gets zeros, which callers mask out with
+    their existing ``run``-gating.  Per running lane the result is
+    BIT-EXACT identical to the full-batch inversion (batched LU is
+    lane-independent), so pivot paths are unchanged.
+
+    Returns ``(inv_full, bfs_full)`` with garbage (zeros) on lanes outside
+    the computed prefix -- callers must already mask non-running lanes.
+    """
+    B, m, _ = A.shape
+    sizes = [B >> i for i in range(6) if (B >> i) >= 8 and B % (1 << i) == 0]
+
+    def full(operands):
+        A_, b_, basis_, _ = operands
+        inv = jnp.linalg.inv(
+            jnp.take_along_axis(A_, basis_[:, None, :], axis=2)
+        )
+        bfs = jnp.einsum("bmk,bk->bm", inv, b_)
+        return inv, bfs
+
+    if len(sizes) <= 1:
+        return full((A, b, basis, None))
+
+    order = jnp.argsort(jnp.logical_not(run), stable=True)  # runners first
+    K = jnp.sum(run.astype(jnp.int32))
+
+    def make_branch(P):
+        def br(operands):
+            A_, b_, basis_, order_ = operands
+            sel = order_[:P]
+            invp = jnp.linalg.inv(
+                jnp.take_along_axis(
+                    jnp.take(A_, sel, axis=0),
+                    jnp.take(basis_, sel, axis=0)[:, None, :], axis=2,
+                )
+            )
+            bfsp = jnp.einsum("bmk,bk->bm", invp, jnp.take(b_, sel, axis=0))
+            inv = jnp.zeros((B, m, m), A_.dtype).at[sel].set(invp)
+            bfs = jnp.zeros((B, m), A_.dtype).at[sel].set(bfsp)
+            return inv, bfs
+
+        return br
+
+    branches = [full] + [make_branch(P) for P in sizes[1:]]
+    # branch i covers K <= sizes[i]; pick the smallest covering prefix
+    idx = sum((K <= s).astype(jnp.int32) for s in sizes[1:])
+    return lax.switch(idx, branches, (A, b, basis, order))
+
+
 def _finite_lanes(inv_B, bfs):
     """bool[B]: lanes whose refreshed factors are all finite.
 
@@ -267,6 +328,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             carry = seg(carry)
             invBT, bfs, cB, basis, pen, gamma, iters, status = carry
             flat_basis = basis[:, 0, :]
+            run = status[:, 0, 0] == st.RUNNING
             if cfg.refactor_method == "ns":
                 # loose basin threshold: only lanes whose eta product left
                 # the NS convergence region fall back to exact inversion;
@@ -275,6 +337,8 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
                     A, b, flat_basis, jnp.swapaxes(invBT, 1, 2),
                     resid_tol=1e-1,
                 )
+            elif cfg.compact_refactor:
+                inv, fresh_bfs = compact_refactorize(A, b, flat_basis, run)
             else:
                 inv = jnp.linalg.inv(
                     jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
@@ -282,7 +346,6 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
                 fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)
             ok = _finite_lanes(inv, fresh_bfs)
             fresh_bfs = fresh_bfs[:, None, :]
-            run = status[:, 0, 0] == st.RUNNING
             status = jnp.where(
                 (run & ~ok)[:, None, None], st.NUMERICAL_ERROR, status
             ).astype(jnp.int32)
@@ -424,17 +487,19 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
         carry = seg(carry)
         invBT, bfs, cB, basis, pen, iters, status = carry
         flat_basis = basis[:, 0, :]
+        run = status[:, 0, 0] == st.RUNNING
         if cfg.refactor_method == "ns":
             inv, fresh_bfs = newton_schulz_refine(
                 A, b, flat_basis, jnp.swapaxes(invBT, 1, 2), resid_tol=1e-1
             )
+        elif cfg.compact_refactor:
+            inv, fresh_bfs = compact_refactorize(A, b, flat_basis, run)
         else:
             inv = jnp.linalg.inv(
                 jnp.take_along_axis(A, flat_basis[:, None, :], axis=2)
             )
             fresh_bfs = jnp.einsum("bmk,bk->bm", inv, b)
         ok = _finite_lanes(inv, fresh_bfs)
-        run = status[:, 0, 0] == st.RUNNING
         status = jnp.where(
             (run & ~ok)[:, None, None], st.NUMERICAL_ERROR, status
         ).astype(jnp.int32)
@@ -557,9 +622,13 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
                 inner_cond, lambda cc: step(cc, hi), carry
             )
             ss = carry[0]
-            fresh = batched_refactorize(A, b, ss)
-            ok = _finite_lanes(fresh.inv_B, fresh.bfs)
             run = ss.status == st.RUNNING
+            if cfg.compact_refactor:
+                inv_c, bfs_c = compact_refactorize(A, b, ss.basis, run)
+                fresh = ss._replace(inv_B=inv_c, bfs=bfs_c)
+            else:
+                fresh = batched_refactorize(A, b, ss)
+            ok = _finite_lanes(fresh.inv_B, fresh.bfs)
             status = jnp.where(
                 run & ~ok, st.NUMERICAL_ERROR, ss.status
             ).astype(jnp.int32)

@@ -45,7 +45,49 @@ from .results import LinProgResult
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+class SharedPatternSparse(NamedTuple):
+    """Sparse [m, n] matrix as shared COO indices + (possibly traced) values.
+
+    The batched-sparse PDHG path stores ONE copy of the sparsity pattern
+    (``rows``/``cols``, int32 [nnz]) for the whole batch and per-lane
+    ``vals`` [nnz] -- the natural layout for structured LP families
+    (transportation, covering, ...) where every instance shares a pattern.
+    Matvecs are gather + ``segment_sum``: exact f32 accumulation, no MXU
+    precision caveat, FLOPs and memory O(nnz).  Duck-types the small part
+    of the dense-array interface :func:`_pdhg_core` touches (``shape``,
+    ``dtype``, ``.T``, matvec via :func:`_mv`).
+    """
+
+    rows: jax.Array  # i32 [nnz]
+    cols: jax.Array  # i32 [nnz]
+    vals: jax.Array  # [nnz]
+    m: int
+    n: int
+    transposed: bool = False
+
+    @property
+    def shape(self):
+        return (self.n, self.m) if self.transposed else (self.m, self.n)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def T(self) -> "SharedPatternSparse":
+        return self._replace(transposed=not self.transposed)
+
+    def mv(self, v):
+        out_idx = self.cols if self.transposed else self.rows
+        in_idx = self.rows if self.transposed else self.cols
+        return jax.ops.segment_sum(
+            self.vals * v[in_idx], out_idx, num_segments=self.shape[0]
+        )
+
+
 def _mv(M, v):
+    if isinstance(M, SharedPatternSparse):
+        return M.mv(v)
     try:
         from jax.experimental import sparse as jsparse
 
@@ -467,6 +509,42 @@ def pdhg_solve_sparse(c, K, q, n_eq: int = 0, lb=None, ub=None,
         status=code if code != st.RUNNING else st.ITER_LIMIT,
         y=np.asarray(state.y),
     )
+
+
+def pdhg_solve_batch_sparse(c, rows, cols, vals, q, n_eq: int, lb, ub,
+                            shape: tuple, maxiters: int = 100_000,
+                            cfg: PDHGConfig = DEFAULT_PDHG_CONFIG):
+    """Batched SPARSE PDHG over instances sharing one sparsity pattern.
+
+    ``c[B, n], vals[B, nnz], q[B, m], lb[B, n], ub[B, n]`` with the COO
+    pattern ``rows/cols[nnz]`` (int32) shared across the batch and
+    ``shape = (m, n)``.  One pattern copy serves the whole batch, so
+    memory is ``O(nnz * B)`` values + ``O(nnz)`` indices -- the regime
+    where a dense ``K[B, m, n]`` no longer fits (e.g. 1024 lanes of
+    m=n=2048 at 1% density: 0.7 GB sparse vs 17 TB dense).  The iteration
+    is the exact same adaptive-restart PDHG as the dense batch
+    (:func:`pdhg_solve_batch`); only the matvec representation differs.
+
+    Returns the final :class:`PDHGState` with a leading batch dim.
+    """
+    m, n = shape
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    return _sparse_batch_jit(
+        c, rows, cols, vals, q, lb, ub, jnp.asarray(maxiters, jnp.int32),
+        m, n, n_eq, cfg,
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "n", "n_eq", "cfg"))
+def _sparse_batch_jit(c, rows, cols, vals, q, lb, ub, maxiters, m, n, n_eq,
+                      cfg: PDHGConfig):
+    def one(ci, vi, qi, lbi, ubi):
+        K = SharedPatternSparse(rows, cols, vi, m, n)
+        init_state, run = _pdhg_core(ci, K, qi, n_eq, lbi, ubi, cfg)
+        return run(init_state(), maxiters)
+
+    return jax.vmap(one)(c, vals, q, lb, ub)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

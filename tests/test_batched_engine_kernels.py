@@ -67,3 +67,26 @@ def test_run_batched_full_solve(kernels):
     art = np.asarray(out.basis) >= (c1.shape[1] - bsj.shape[1])
     art_mass = np.where(art, np.asarray(out.bfs), 0.0).sum(axis=1)
     assert (art_mass < 1e-4).all()
+
+
+def test_compact_refactorize_bit_exact():
+    """Compacted (running-lanes-only) refactorization must be bit-exact vs
+    the full-batch inversion on every running lane, for any runner count."""
+    from linprog_tpu.engine_batched import compact_refactorize
+
+    key = jax.random.PRNGKey(7)
+    B, m, n = 64, 12, 30
+    A = jax.random.normal(key, (B, m, n), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(8), (B, m), jnp.float32)
+    basis = (
+        jnp.tile(jnp.arange(m, dtype=jnp.int32)[None], (B, 1))
+        + (jnp.arange(B, dtype=jnp.int32) % 9)[:, None]
+    )
+    inv_f = jnp.linalg.inv(jnp.take_along_axis(A, basis[:, None, :], axis=2))
+    bfs_f = jnp.einsum("bmk,bk->bm", inv_f, b)
+    for p in (0.0, 0.15, 0.6, 1.0):
+        run = jax.random.bernoulli(jax.random.PRNGKey(int(p * 100)), p, (B,))
+        inv_c, bfs_c = jax.jit(compact_refactorize)(A, b, basis, run)
+        r = np.asarray(run)
+        assert np.array_equal(np.asarray(inv_c)[r], np.asarray(inv_f)[r])
+        assert np.array_equal(np.asarray(bfs_c)[r], np.asarray(bfs_f)[r])

@@ -177,3 +177,36 @@ def test_pdhg_adaptive_not_slower_than_fixed():
     assert res_a.optimum and res_f.optimum
     assert abs(res_a.cost - res_f.cost) < 1e-2 * max(1, abs(res_f.cost))
     assert res_a.iters <= res_f.iters * 1.5
+
+
+def test_batched_sparse_matches_dense_batch():
+    """Shared-pattern sparse batch must agree with the dense batch (same
+    iteration, only the matvec representation differs)."""
+    from linprog_tpu.pdhg import pdhg_solve_batch_sparse
+
+    rng = np.random.default_rng(5)
+    B, m, n = 4, 12, 16
+    # build feasible/bounded instances directly from the SPARSE matrix
+    mask = rng.random((m, n)) < 0.4
+    mask[np.arange(m), rng.integers(0, n, m)] = True  # no empty rows
+    G = rng.standard_normal((B, m, n)) * mask[None]
+    x0 = rng.random((B, n))
+    h = np.einsum("bmn,bn->bm", G, x0) + rng.random((B, m))
+    y0 = rng.random((B, m))
+    c = 0.1 + 0.9 * rng.random((B, n)) - np.einsum("bmn,bm->bn", G, y0)
+
+    lb = np.zeros((B, n))
+    ub = np.full((B, n), np.inf)
+    cfg = PDHGConfig(eps_rel=1e-6, maxiters=100_000, dtype="float64")
+    dense = pdhg_solve_batch(c, G, h, 0, lb, ub, cfg=cfg)
+
+    rows, cols = np.nonzero(mask)
+    vals = G[:, rows, cols]
+    sparse = pdhg_solve_batch_sparse(
+        c, rows, cols, vals, h, 0, lb, ub, shape=(m, n), cfg=cfg
+    )
+    assert np.array_equal(np.asarray(dense.status), np.asarray(sparse.status))
+    assert (np.asarray(sparse.status) == st.OPTIMAL).all()
+    cost_d = np.einsum("bn,bn->b", c, np.asarray(dense.x))
+    cost_s = np.einsum("bn,bn->b", c, np.asarray(sparse.x))
+    np.testing.assert_allclose(cost_s, cost_d, rtol=1e-4, atol=1e-4)
