@@ -208,14 +208,17 @@ def main():
 
     from linprog_tpu.config import SolverConfig
 
-    # refactor_every/unroll tuned on v5e (2026-08, round 2): the
-    # between-segment batched inversion is ~40% of e2e wall time at
-    # seg=192, and unroll=4 cuts the in-kernel per-iteration cost 22%,
-    # shifting the knee: 343 LPs/s (seg=192) -> 388 (seg=320) at m=256,
-    # max rel gap vs HiGHS 7.3e-6 (dd polish holds the accuracy floor).
+    # Tuned on v5e (2026-08, round 2).  unroll=4 cuts in-kernel
+    # per-iteration cost 22%; compact_refactor (default on) makes the
+    # between-segment inversion cost proportional to still-running lanes,
+    # moving the refactor_every knee 320 -> ~512 (536 LPs/s, plateau to
+    # 768); packed_select fuses the selection reductions (+9.7%, measured
+    # pivot counts identical).  m=256 history: 343 (seg=192) -> 388
+    # (seg=320) -> 473 (compact) -> 537 (seg=512) -> 589 (packed).
     cfg = SolverConfig(
-        pricing="dantzig", refactor_every=320, kernels="pallas",
+        pricing="dantzig", refactor_every=512, kernels="pallas",
         refactor_method="inv", polish_pivots=8, unroll=4,
+        packed_select=True,
     )
 
     head = run_size(jax, args.m, args.n, args.chunk, args.chunks,

@@ -238,6 +238,27 @@ def reoptimize_batch_new_rhs(
     B_final = jnp.take_along_axis(A, states.basis[:, None, :], axis=2)
     bfs_exact = jnp.linalg.solve(B_final, b_new[:, :, None])[:, :, 0]
     states = states._replace(bfs=bfs_exact)
+
+    if cfg.polish_pivots > 0:
+        # dd-polish analogue for the dual re-optimization path: same
+        # double-word terminal repricing + cleanup pivots the two-phase
+        # pipeline applies (the dual+primal f32 passes share its ~5e-4
+        # pricing accuracy floor)
+        from .refine import dd_dot, polish_batch
+
+        act = states.status == st.OPTIMAL
+        pbasis, pxB, _, pinv, _ = polish_batch(
+            c, A, b_new, states.basis, allowed, act,
+            max_pivots=cfg.polish_pivots, pivot_tol=cfg.pivot_tol,
+            inv_B=states.inv_B,
+        )
+        states = states._replace(
+            basis=jnp.where(act[:, None], pbasis, states.basis),
+            bfs=jnp.where(act[:, None], pxB, states.bfs),
+            inv_B=jnp.where(act[:, None, None], pinv, states.inv_B),
+        )
+        res = _to_result(c, states, n)
+        return res._replace(cost=dd_dot(c, res.x))
     return _to_result(c, states, n)
 
 

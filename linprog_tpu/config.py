@@ -114,6 +114,18 @@ class SolverConfig:
     # end of each lane's solve.  Whole-segment (VMEM-resident) primal/dual
     # kernel and the bounded-variable kernel; ignored by the streaming path.
     unroll: int = 1
+    # Packed-key fused selection (whole-segment primal mega-kernel):
+    # dantzig entering selection and the min-ratio leaving test each fuse
+    # value-min + argmin + eligibility into ONE i32 lane reduction by
+    # embedding the index in the low mantissa bits of the monotonically
+    # int-mapped float key.  Tie-breaking among candidates within
+    # ~2^-(23-log2(n)) RELATIVE of the winner can differ from exact
+    # first-index Dantzig/min-ratio, so pivot paths are not bit-reproducible
+    # vs the oracle -- but reduced costs, ratio values, and the optimality
+    # test stay exact, so termination and statuses are unaffected (unlike
+    # the split-pricing experiment, whose pricing values themselves were
+    # noisy).  Off by default for oracle-exact pivot paths.
+    packed_select: bool = False
     # Terminal double-word polish (linprog_tpu.refine): after the batched
     # two-phase solve, reduced costs are recomputed in split-float/Kahan
     # arithmetic at the terminal basis and up to `polish_pivots` dd-guided

@@ -304,6 +304,7 @@ def run_batched_pallas(c, A, b, state: SimplexState, allowed, maxiters,
             opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
             dual=(mode == "dual"), feas_tol=cfg.feas_tol, use_at=use_at,
             stall_limit=cfg.stall_limit, split=split, unroll=cfg.unroll,
+            packed=cfg.packed_select,
         )
 
     carry = (invBT, bfs, cB, basis, pen, gamma, iters, status)

@@ -65,7 +65,7 @@ def _dotg(a, b, a_dim, b_dim):
 def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                           pivot_tol: float, dual: bool, feas_tol: float,
                           use_at: bool, stall_limit: int, ablate: int,
-                          split: bool, unroll: int,
+                          split: bool, unroll: int, packed: bool,
                           # inputs
                           A_ref, AT_ref, Ahl_ref, c_ref, apen_ref,
                           maxiters_ref, iters_in_ref, status_in_ref,
@@ -83,6 +83,37 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
     lane_n = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    # packed-key selection (primal, bland/dantzig): fuse the value min,
+    # the argmin, and the eligibility test into ONE i32 lane reduction by
+    # embedding the column/row index in the low bits of the (monotonically
+    # int-mapped) float key.  Low `bits` mantissa bits are sacrificed to
+    # the index, so TIE-BREAKING among candidates within ~2^-(23-bits)
+    # relative of each other can differ from exact Dantzig/min-ratio --
+    # but the reduced costs, the optimality test, and the ratio values
+    # themselves stay exact, so termination is unaffected (the decisive
+    # difference from the split-pricing negative result, where the test
+    # itself was noisy).  Dantzig is a selection heuristic; any eligible
+    # column is valid.
+    _INTMAX = jnp.int32(0x7FFFFFFF)
+    bits_n = max(1, (n - 1).bit_length())
+    bits_m = max(1, (m - 1).bit_length())
+
+    def _pack_min(vals, mask, idx, bits, negate):
+        """Packed i32 keys whose min encodes (value-argmin, index).
+
+        ``negate=False``: for nonnegative ``vals`` (their IEEE bit
+        patterns are monotone).  ``negate=True``: for negative ``vals``
+        (bit patterns are monotone DEcreasing, so the bitwise complement
+        is used).  Masked-out entries get INT32_MAX.
+        """
+        u = lax.bitcast_convert_type(vals, jnp.int32)
+        if negate:
+            u = jnp.bitwise_not(u)
+        key = jnp.bitwise_or(
+            jnp.bitwise_and(u, jnp.int32(-(1 << bits))), idx
+        )
+        return jnp.where(mask, key, _INTMAX)
 
     # initialize aliased state (self-copy under real aliasing; required for
     # interpreter mode where outputs start uninitialized)
@@ -176,7 +207,25 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
         if dual:
             # ---- dual iteration: leaving row first, then entering column --
             neg = bfs < -feas_tol  # (1, m) infeasible basics
-            if dantzig:  # most-infeasible row (dual Dantzig)
+            if dantzig and packed:
+                # fused most-infeasible-row selection (see _pack_min)
+                keys = _pack_min(bfs, neg, lane_m, bits_m, negate=True)
+                lo_m = jnp.int32((1 << bits_m) - 1)
+                if track_stall:
+                    sel = jnp.concatenate(
+                        [keys, jnp.where(neg, lane_m, m)], axis=0
+                    )  # (2, m)
+                    sel_min = jnp.min(sel, axis=1, keepdims=True)
+                    viable = sel_min[0, 0] != _INTMAX
+                    leave = jnp.where(
+                        use_bland, sel_min[1, 0],
+                        jnp.bitwise_and(sel_min[0, 0], lo_m),
+                    )
+                else:
+                    k0 = jnp.min(keys)
+                    viable = k0 != _INTMAX
+                    leave = jnp.bitwise_and(k0, lo_m)
+            elif dantzig:  # most-infeasible row (dual Dantzig)
                 worst = jnp.min(bfs)
                 viable = worst < -feas_tol
                 if track_stall:
@@ -204,10 +253,31 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
             theta_d = jnp.where(
                 cand, -r / jnp.where(cand, urow, -jnp.ones_like(urow)), jnp.inf
             )
-            best_d = jnp.min(theta_d)
-            any_cand = best_d < jnp.inf
-            enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
-            enter = jnp.where(any_cand, enter, 0)
+            if packed:
+                # fused dual ratio argmin; clamp float-noise-negative
+                # ratios to 0 so the nonnegative-bit-pattern packing holds
+                dkeys = _pack_min(
+                    jnp.maximum(theta_d, 0.0), cand, lane_n, bits_n,
+                    negate=False,
+                )
+                drow = jnp.min(dkeys, axis=1, keepdims=True)  # (1, 1)
+                d0 = drow[0, 0]
+                any_cand = d0 != _INTMAX
+                enter = jnp.bitwise_and(d0, jnp.int32((1 << bits_n) - 1))
+                enter = jnp.where(any_cand, enter, 0)
+                # Mosaic only bitcasts VECTORS; unpack via the (1,1) row
+                best_d = lax.bitcast_convert_type(
+                    jnp.bitwise_and(drow, jnp.int32(-(1 << bits_n))),
+                    jnp.float32,
+                )[0, 0]
+                best_d = jnp.where(any_cand, best_d, jnp.inf)
+            else:
+                best_d = jnp.min(theta_d)
+                any_cand = best_d < jnp.inf
+                enter = jnp.min(
+                    jnp.where(cand & (theta_d == best_d), lane_n, n)
+                )
+                enter = jnp.where(any_cand, enter, 0)
 
             do_pivot = viable & any_cand & run
             stop_status = jnp.where(
@@ -236,6 +306,27 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 neg = r < -opt_tol
                 enter = lax.rem(seg, jnp.int32(n))
                 eligible = jnp.ones((), jnp.bool_)
+            elif packed and pricing == 1:
+                # fused dantzig selection: value-min + argmin + eligibility
+                # in ONE i32 reduction over index-packed keys (low ~2^-13
+                # relative tie-break granularity; r itself stays exact)
+                neg = r < -opt_tol
+                keys = _pack_min(r, neg, lane_n, bits_n, negate=True)
+                lo_n = jnp.int32((1 << bits_n) - 1)
+                if track_stall:
+                    sel = jnp.concatenate(
+                        [keys, jnp.where(neg, lane_n, n)], axis=0
+                    )  # (2, n)
+                    sel_min = jnp.min(sel, axis=1, keepdims=True)  # (2, 1)
+                    eligible = sel_min[0, 0] != _INTMAX
+                    enter = jnp.where(
+                        use_bland, sel_min[1, 0],
+                        jnp.bitwise_and(sel_min[0, 0], lo_n),
+                    )
+                else:
+                    k0 = jnp.min(keys)
+                    eligible = k0 != _INTMAX
+                    enter = jnp.bitwise_and(k0, lo_n)
             else:
                 neg = r < -opt_tol
                 if pricing == 2:  # devex: maximize r^2 / gamma over eligible
@@ -282,6 +373,28 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
                 any_pos = jnp.ones((), jnp.bool_)
                 best_t = jnp.zeros((), jnp.float32)
                 leave = lax.rem(seg, jnp.int32(m))
+            elif packed:
+                pos = d > pivot_tol
+                bfs_nn = jnp.maximum(bfs, 0.0)
+                theta = jnp.where(
+                    pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)), jnp.inf
+                )
+                # fused min-ratio + arg + any_pos in one i32 reduction
+                # (theta >= 0 so IEEE bit patterns are order-preserving)
+                tkeys = _pack_min(theta, pos, lane_m, bits_m, negate=False)
+                trow = jnp.min(tkeys, axis=1, keepdims=True)  # (1, 1)
+                t0 = trow[0, 0]
+                any_pos = t0 != _INTMAX
+                leave = jnp.bitwise_and(t0, jnp.int32((1 << bits_m) - 1))
+                leave = jnp.where(any_pos, leave, 0)
+                # truncated-mantissa theta: used only for the stall-progress
+                # metric dz (tolerance-based), never for state updates.
+                # Mosaic only bitcasts VECTORS, so unpack via the (1,1) row.
+                best_t = lax.bitcast_convert_type(
+                    jnp.bitwise_and(trow, jnp.int32(-(1 << bits_m))),
+                    jnp.float32,
+                )[0, 0]
+                best_t = jnp.where(any_pos, best_t, jnp.inf)
             else:
                 pos = d > pivot_tol
                 # bfs clamped at 0: refactorization noise on degenerate
@@ -428,7 +541,7 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "use_at", "stall_limit", "ablate", "split",
-                     "unroll", "interpret"),
+                     "unroll", "packed", "interpret"),
     donate_argnums=(6, 7, 8, 9, 10, 11),
 )
 def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
@@ -436,7 +549,7 @@ def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
                   pricing: int, opt_tol: float, pivot_tol: float,
                   dual: bool = False, feas_tol: float = 1e-6,
                   use_at: bool = True, stall_limit: int = 0, ablate: int = 0,
-                  split: bool = False, unroll: int = 1,
+                  split: bool = False, unroll: int = 1, packed: bool = False,
                   interpret: bool | None = None):
     """Run up to ``seg_len`` simplex iterations per lane entirely in VMEM.
 
@@ -465,6 +578,7 @@ def solve_segment(A, AT, Ahl, c_row, apen, maxiters, invBT, bfs, cB,
     kernel = functools.partial(
         _solve_segment_kernel, seg_len, pricing, opt_tol, pivot_tol,
         dual, feas_tol, use_at, stall_limit, ablate, split, max(1, unroll),
+        packed,
     )
 
     def lane(i):

@@ -93,3 +93,54 @@ def test_warm_start_detects_new_infeasibility():
     b_new = jnp.asarray([[-1.0]])
     res = reoptimize_batch_new_rhs(c, A, b_new, basis, 50)
     assert int(np.asarray(res.status)[0]) == st.DUAL_UNBOUNDED
+
+
+def test_warm_start_with_polish():
+    """The dd-polish hook on the dual re-optimization path: same optimal
+    lanes, costs at least as accurate as unpolished vs the f64 oracle."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    B, m, n = 6, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=29)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    cfg = SolverConfig(pricing="dantzig")
+    base = solve_batch_two_phase(cs, As, bs, 300, 300, cfg)
+    rng = np.random.default_rng(1)
+    bs_new = jnp.asarray(
+        np.asarray(bs)
+        * (1.0 + 0.05 * rng.standard_normal(bs.shape).astype(np.float32))
+    )
+    plain = reoptimize_batch_new_rhs(cs, As, bs_new, base.basis, 200, cfg)
+    pol = reoptimize_batch_new_rhs(
+        cs, As, bs_new, base.basis, 200, cfg.replace(polish_pivots=4)
+    )
+    assert (np.asarray(pol.status) == st.OPTIMAL).all()
+    for i in range(B):
+        ref = scipy_opt.linprog(
+            np.asarray(cs)[i], A_eq=np.asarray(As)[i],
+            b_eq=np.asarray(bs_new)[i], bounds=(0, None), method="highs",
+        )
+        assert ref.status == 0
+        gap = abs(float(np.asarray(pol.cost)[i]) - ref.fun) / max(1, abs(ref.fun))
+        assert gap < 2e-5, (i, gap)
+
+
+@pytest.mark.parametrize("pricing", ["dantzig", "bland"])
+def test_dual_packed_select_same_answers(pricing):
+    """Packed-key dual selection: same statuses/final costs as unpacked."""
+    c, A, b, basis = _dual_setup()
+    states = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    allowed = jnp.ones((c.shape[1],), bool)
+    base = SolverConfig(kernels="pallas", refactor_every=8, pricing=pricing)
+    ref = run_batched_pallas(c, A, b, states, allowed, 100, base, mode="dual")
+    states2 = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(A, b, basis)
+    out = run_batched_pallas(
+        c, A, b, states2, allowed, 100, base.replace(packed_select=True),
+        mode="dual",
+    )
+    assert np.array_equal(np.asarray(ref.status), np.asarray(out.status))
+    cB_r = np.take_along_axis(np.asarray(c), np.asarray(ref.basis), axis=1)
+    cB_o = np.take_along_axis(np.asarray(c), np.asarray(out.basis), axis=1)
+    cost_r = (cB_r * np.asarray(ref.bfs)).sum(axis=1)
+    cost_o = (cB_o * np.asarray(out.bfs)).sum(axis=1)
+    np.testing.assert_allclose(cost_o, cost_r, rtol=2e-4, atol=2e-4)

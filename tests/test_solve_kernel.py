@@ -148,3 +148,31 @@ def test_no_at_column_fetch_matches(monkeypatch):
     assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
     assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
     assert np.array_equal(np.asarray(out.iters), np.asarray(ref.iters))
+
+
+@pytest.mark.parametrize("stall", [0, 24])
+def test_packed_select_same_answers(stall):
+    """Packed-key fused selection: pivot tie-breaks may differ from exact
+    Dantzig, but statuses and optimal costs must match the unpacked kernel."""
+    from linprog_tpu.batch import solve_batch_two_phase
+    from linprog_tpu.generators import (
+        random_inequality_lps,
+        to_standard_form_batch,
+    )
+
+    B, m, n = 8, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=41)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    base = SolverConfig(
+        pricing="dantzig", kernels="pallas", refactor_every=8,
+        stall_limit=stall,
+    )
+    ref = solve_batch_two_phase(cs, As, bs, 300, 300, base)
+    out = solve_batch_two_phase(
+        cs, As, bs, 300, 300, base.replace(packed_select=True)
+    )
+    assert np.array_equal(np.asarray(ref.status), np.asarray(out.status))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    np.testing.assert_allclose(
+        np.asarray(out.cost), np.asarray(ref.cost), rtol=2e-4, atol=2e-4
+    )
