@@ -250,7 +250,7 @@ def run_bounded_batched_pallas(c, A, b, lb, ub, state: BoundedState,
             A, AT, c_row, lb_row, ub_row, maxit_arr, invBT, bfs, cB,
             basis, vstate, lbB, ubB, iters, status,
             seg_len=seg_len, opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
-            use_at=use_at, unroll=cfg.unroll,
+            use_at=use_at, unroll=cfg.unroll, packed=cfg.packed_select,
         )
 
     def any_running(carry):

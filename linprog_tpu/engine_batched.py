@@ -476,6 +476,7 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
             pivot_tol=cfg.pivot_tol, dual=(mode == "dual"),
             feas_tol=cfg.feas_tol, a_resident=(variant == "resident"),
             n_blk=n_blk, stall_limit=cfg.stall_limit, partial=partial,
+            packed=cfg.packed_select,
         )
 
     def any_running(carry):

@@ -46,7 +46,7 @@ def _dotg(a, b, a_dim, b_dim):
 
 
 def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
-                    use_at: bool, unroll: int,
+                    use_at: bool, unroll: int, packed: bool,
                     # inputs
                     A_ref, AT_ref, c_ref, lb_ref, ub_ref, maxiters_ref,
                     iters_in_ref, status_in_ref,
@@ -60,6 +60,14 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     inf = jnp.float32(jnp.inf)
+
+    # packed-key fused selection (see solve_kernel.pack_min_keys)
+    from .solve_kernel import INTMAX as _INTMAX
+    from .solve_kernel import pack_min_keys as _pack_min
+    bits_n = max(1, (n - 1).bit_length())
+    bits_m = max(1, (m - 1).bit_length())
+    lo_n = jnp.int32((1 << bits_n) - 1)
+    lo_m = jnp.int32((1 << bits_m) - 1)
 
     invBT_ref[0] = invBT_in_ref[0]
     bfs_ref[0] = bfs_in_ref[0]
@@ -102,10 +110,17 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         zc = _dotg(y, A, 1, 0) - c  # (1, n)
         rc = jnp.where(vstate == 1.0, -zc, zc)
         rc = jnp.where(vstate == 2.0, -inf, rc)
-        best = jnp.max(rc)
-        eligible = best > opt_tol
-        enter = jnp.min(jnp.where(rc == best, lane_n, n))
-        enter = jnp.where(eligible, enter, 0)
+        if packed:
+            # argmax(rc) == packed argmin(-rc) over candidates rc > opt_tol
+            # (candidate -rc values are negative -> complement mapping)
+            kr = jnp.min(_pack_min(-rc, rc > opt_tol, lane_n, bits_n, True))
+            eligible = kr != _INTMAX
+            enter = jnp.where(eligible, jnp.bitwise_and(kr, lo_n), 0)
+        else:
+            best = jnp.max(rc)
+            eligible = best > opt_tol
+            enter = jnp.min(jnp.where(rc == best, lane_n, n))
+            enter = jnp.where(eligible, enter, 0)
         at_enter = lane_n == enter
 
         # masked one-nonzero extracts, PACKED: one (4, n) lane reduction
@@ -143,21 +158,44 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
         neg = -sd > pivot_tol
         g1v = jnp.where(pos, room_lo / jnp.where(pos, sd, 1.0), inf)
         g2v = jnp.where(neg, room_hi / jnp.where(neg, -sd, 1.0), inf)
-        g1 = jnp.min(g1v)
-        g2 = jnp.min(g2v)
         gamma3 = ub_e - lb_e
-        delta = jnp.minimum(g1, g2)
+        if packed:
+            # both ratio argmins in ONE (2, m) packed reduction; the step
+            # length delta is then re-extracted EXACTLY at the chosen row
+            # (delta feeds the bfs update, so its value must not carry the
+            # packed keys' truncated mantissa)
+            kk = jnp.concatenate(
+                [_pack_min(g1v, pos, lane_m, bits_m, False),
+                 _pack_min(g2v, neg, lane_m, bits_m, False)], axis=0,
+            )  # (2, m)
+            kmin = jnp.min(kk, axis=1, keepdims=True)  # (2, 1)
+            k1m, k2m = kmin[0, 0], kmin[1, 0]
+            leave_to_lb = k1m < k2m
+            ksel = jnp.minimum(k1m, k2m)
+            leave_pre = jnp.bitwise_and(ksel, lo_m)
+            delta = jnp.sum(jnp.where(
+                lane_m == leave_pre,
+                jnp.where(leave_to_lb, g1v, g2v), 0.0,
+            ))
+            delta = jnp.where(ksel != _INTMAX, delta, inf)
+        else:
+            g1 = jnp.min(g1v)
+            g2 = jnp.min(g2v)
+            delta = jnp.minimum(g1, g2)
+            leave_to_lb = g1 < g2
 
         unbounded = eligible & jnp.isinf(delta) & jnp.isinf(gamma3)
         traverse = gamma3 <= delta
         flip = eligible & ~unbounded & traverse & run
         piv = eligible & ~unbounded & ~traverse & run
 
-        leave_to_lb = g1 < g2
-        leave1 = jnp.min(jnp.where(g1v == g1, lane_m, m))
-        leave2 = jnp.min(jnp.where(g2v == g2, lane_m, m))
-        leave = jnp.where(leave_to_lb, leave1, leave2)
-        leave = jnp.where(piv, leave, 0)
+        if packed:
+            leave = jnp.where(piv, leave_pre, 0)
+        else:
+            leave1 = jnp.min(jnp.where(g1v == g1, lane_m, m))
+            leave2 = jnp.min(jnp.where(g2v == g2, lane_m, m))
+            leave = jnp.where(leave_to_lb, leave1, leave2)
+            leave = jnp.where(piv, leave, 0)
         at_leave = lane_m == leave
 
         # ---- incremental bfs: every basic moves by -step * sd; a pivot
@@ -235,14 +273,14 @@ def _bounded_kernel(seg_len: int, opt_tol: float, pivot_tol: float,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_len", "opt_tol", "pivot_tol", "use_at", "unroll",
-                     "interpret"),
+                     "packed", "interpret"),
     donate_argnums=(6, 7, 8, 9, 10, 11, 12),
 )
 def solve_bounded_segment(A, AT, c_row, lb_row, ub_row, maxiters, invBT,
                           bfs, cB, basis, vstate, lbB, ubB, iters, status,
                           *, seg_len: int, opt_tol: float, pivot_tol: float,
                           use_at: bool = True, unroll: int = 1,
-                          interpret=None):
+                          packed: bool = False, interpret=None):
     """Up to ``seg_len`` bounded-variable iterations per lane in VMEM.
 
     Shapes: ``A[B,m,n]``, ``AT[B,n,m]`` (or a ``[B,1,128]`` dummy with
@@ -258,7 +296,7 @@ def solve_bounded_segment(A, AT, c_row, lb_row, ub_row, maxiters, invBT,
     B, m, n = A.shape
     kernel = functools.partial(
         _bounded_kernel, seg_len, opt_tol, pivot_tol, use_at,
-        max(1, unroll),
+        max(1, unroll), packed,
     )
 
     def lane(i):

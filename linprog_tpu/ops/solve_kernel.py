@@ -49,6 +49,30 @@ from .. import status as st
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# packed-key selection sentinel (see pack_min_keys); a PYTHON int -- a
+# module-level jnp scalar would be a captured constant pallas rejects
+INTMAX = 0x7FFFFFFF
+
+
+def pack_min_keys(vals, mask, idx, bits: int, negate: bool):
+    """Packed i32 keys whose min fuses (value-min, argmin, any-eligible).
+
+    The index rides in the low ``bits`` bits of the monotonically
+    int-mapped float value: ``negate=False`` for NONnegative ``vals``
+    (IEEE bit patterns of nonnegative floats are order-preserving as
+    ints), ``negate=True`` for negative ``vals`` (patterns are monotone
+    DEcreasing, so the bitwise complement restores the order).  Masked-out
+    entries get INT32_MAX, so ``min != INTMAX`` doubles as the
+    any-candidate test.  Tie-breaking granularity is 2^-(23-bits) relative
+    (ties resolve to the lowest index); the float values themselves are
+    not perturbed.
+    """
+    u = lax.bitcast_convert_type(vals, jnp.int32)
+    if negate:
+        u = jnp.bitwise_not(u)
+    key = jnp.bitwise_or(jnp.bitwise_and(u, jnp.int32(-(1 << bits))), idx)
+    return jnp.where(mask, key, jnp.int32(INTMAX))
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
@@ -84,36 +108,17 @@ def _solve_segment_kernel(seg_len: int, pricing: int, opt_tol: float,
     lane_m = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
-    # packed-key selection (primal, bland/dantzig): fuse the value min,
-    # the argmin, and the eligibility test into ONE i32 lane reduction by
-    # embedding the column/row index in the low bits of the (monotonically
-    # int-mapped) float key.  Low `bits` mantissa bits are sacrificed to
-    # the index, so TIE-BREAKING among candidates within ~2^-(23-bits)
-    # relative of each other can differ from exact Dantzig/min-ratio --
-    # but the reduced costs, the optimality test, and the ratio values
-    # themselves stay exact, so termination is unaffected (the decisive
-    # difference from the split-pricing negative result, where the test
-    # itself was noisy).  Dantzig is a selection heuristic; any eligible
-    # column is valid.
-    _INTMAX = jnp.int32(0x7FFFFFFF)
+    # packed-key selection (see pack_min_keys): fuse value min + argmin +
+    # eligibility into ONE i32 lane reduction.  The reduced costs, the
+    # optimality test, and the ratio values stay exact, so termination is
+    # unaffected (the decisive difference from the split-pricing negative
+    # result, where the test itself was noisy); only tie-breaking within
+    # ~2^-(23-bits) relative can differ.  Any eligible column is a valid
+    # Dantzig pick.
+    _INTMAX = INTMAX
+    _pack_min = pack_min_keys
     bits_n = max(1, (n - 1).bit_length())
     bits_m = max(1, (m - 1).bit_length())
-
-    def _pack_min(vals, mask, idx, bits, negate):
-        """Packed i32 keys whose min encodes (value-argmin, index).
-
-        ``negate=False``: for nonnegative ``vals`` (their IEEE bit
-        patterns are monotone).  ``negate=True``: for negative ``vals``
-        (bit patterns are monotone DEcreasing, so the bitwise complement
-        is used).  Masked-out entries get INT32_MAX.
-        """
-        u = lax.bitcast_convert_type(vals, jnp.int32)
-        if negate:
-            u = jnp.bitwise_not(u)
-        key = jnp.bitwise_or(
-            jnp.bitwise_and(u, jnp.int32(-(1 << bits))), idx
-        )
-        return jnp.where(mask, key, _INTMAX)
 
     # initialize aliased state (self-copy under real aliasing; required for
     # interpreter mode where outputs start uninitialized)

@@ -89,7 +89,7 @@ def _dotg(a, b, a_dim, b_dim):
 def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                    pivot_tol: float, dual: bool, feas_tol: float,
                    a_resident: bool, n_blk: int, stall_limit: int,
-                   partial: bool,
+                   partial: bool, packed: bool,
                    # inputs
                    AT_hbm, c_ref, apen_ref, maxiters_ref,
                    iters_in_ref, status_in_ref, invBT_hbm,
@@ -112,6 +112,14 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     subl_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     if partial:
         lane_blk = lax.broadcasted_iota(jnp.int32, (1, n_blk), 1)
+
+    # packed-key fused selection (see solve_kernel.pack_min_keys)
+    from .solve_kernel import INTMAX as _INTMAX
+    from .solve_kernel import pack_min_keys as _pack_min
+    bits_n = max(1, ((n if not partial else n_blk) - 1).bit_length())
+    bits_m = max(1, (m - 1).bit_length())
+    lo_n = jnp.int32((1 << bits_n) - 1)
+    lo_m = jnp.int32((1 << bits_m) - 1)
 
     # ---- stage state into scratch ---------------------------------------
     pltpu.make_async_copy(invBT_hbm.at[i], invbt_buf, sem.at[0]).start()
@@ -195,7 +203,14 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
             pen = pen_ref[0]  # (1, n)
             # ---- dual: leaving row first, then entering column ----------
             neg = bfs < -feas_tol
-            if dantzig:
+            if dantzig and packed:
+                k0 = jnp.min(_pack_min(bfs, neg, lane_m, bits_m, True))
+                viable = k0 != _INTMAX
+                leave = jnp.bitwise_and(k0, lo_m)
+                if track_stall:  # stalled: first infeasible row (Bland)
+                    leave_b = jnp.min(jnp.where(neg, lane_m, m))
+                    leave = jnp.where(use_bland, leave_b, leave)
+            elif dantzig:
                 worst = jnp.min(bfs)
                 viable = worst < -feas_tol
                 leave = jnp.min(jnp.where(bfs == worst, lane_m, m))
@@ -223,10 +238,27 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 cand, -r / jnp.where(cand, urow, -jnp.ones_like(urow)),
                 jnp.inf,
             )
-            best_d = jnp.min(theta_d)
-            any_cand = best_d < jnp.inf
-            enter = jnp.min(jnp.where(cand & (theta_d == best_d), lane_n, n))
-            enter = jnp.where(any_cand, enter, 0)
+            if packed:
+                drow = jnp.min(
+                    _pack_min(jnp.maximum(theta_d, 0.0), cand, lane_n,
+                              bits_n, False),
+                    axis=1, keepdims=True,
+                )  # (1, 1)
+                d0 = drow[0, 0]
+                any_cand = d0 != _INTMAX
+                enter = jnp.where(any_cand, jnp.bitwise_and(d0, lo_n), 0)
+                best_d = lax.bitcast_convert_type(
+                    jnp.bitwise_and(drow, jnp.int32(-(1 << bits_n))),
+                    jnp.float32,
+                )[0, 0]
+                best_d = jnp.where(any_cand, best_d, jnp.inf)
+            else:
+                best_d = jnp.min(theta_d)
+                any_cand = best_d < jnp.inf
+                enter = jnp.min(
+                    jnp.where(cand & (theta_d == best_d), lane_n, n)
+                )
+                enter = jnp.where(any_cand, enter, 0)
             do_pivot = viable & any_cand
             stop_status = jnp.where(
                 jnp.logical_not(viable),
@@ -251,7 +283,14 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
             pen_sec = pen_ref[0, pl.ds(sec, 1), :]
             r_sec = c_sec - _dotg(y, at_sec, 1, 1) + pen_sec  # (1, n_blk)
             negs = r_sec < -opt_tol
-            if dantzig:
+            if dantzig and packed:
+                k0 = jnp.min(_pack_min(r_sec, negs, lane_blk, bits_n, True))
+                eligible = k0 != _INTMAX
+                enter_loc = jnp.bitwise_and(k0, lo_n)
+                if track_stall:  # stalled: first eligible IN SECTION
+                    enter_b = jnp.min(jnp.where(negs, lane_blk, n_blk))
+                    enter_loc = jnp.where(use_bland, enter_b, enter_loc)
+            elif dantzig:
                 best = jnp.min(r_sec)
                 enter_loc = jnp.min(
                     jnp.where(r_sec == best, lane_blk, n_blk)
@@ -280,7 +319,14 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 _price_rows(y)
                 r = c_ref[0] - r_buf[...] + pen
             negr = r < -opt_tol
-            if dantzig:
+            if dantzig and packed:
+                k0 = jnp.min(_pack_min(r, negr, lane_n, bits_n, True))
+                eligible = k0 != _INTMAX
+                enter = jnp.bitwise_and(k0, lo_n)
+                if track_stall:  # stalled: first eligible column (Bland)
+                    enter_b = jnp.min(jnp.where(negr, lane_n, n))
+                    enter = jnp.where(use_bland, enter_b, enter)
+            elif dantzig:
                 best = jnp.min(r)
                 enter = jnp.min(jnp.where(r == best, lane_n, n))
                 eligible = best < -opt_tol
@@ -330,10 +376,26 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 pos, bfs_nn / jnp.where(pos, d, jnp.ones_like(d)),
                 jnp.inf,
             )
-            best_t = jnp.min(theta)
-            any_pos = best_t < jnp.inf  # min(theta) finite iff some d>tol
-            leave = jnp.min(jnp.where(pos & (theta == best_t), lane_m, m))
-            leave = jnp.where(any_pos, leave, 0)
+            if packed:
+                trow = jnp.min(
+                    _pack_min(theta, pos, lane_m, bits_m, False),
+                    axis=1, keepdims=True,
+                )  # (1, 1)
+                t0 = trow[0, 0]
+                any_pos = t0 != _INTMAX
+                leave = jnp.where(any_pos, jnp.bitwise_and(t0, lo_m), 0)
+                best_t = lax.bitcast_convert_type(
+                    jnp.bitwise_and(trow, jnp.int32(-(1 << bits_m))),
+                    jnp.float32,
+                )[0, 0]
+                best_t = jnp.where(any_pos, best_t, jnp.inf)
+            else:
+                best_t = jnp.min(theta)
+                any_pos = best_t < jnp.inf  # min finite iff some d>tol
+                leave = jnp.min(
+                    jnp.where(pos & (theta == best_t), lane_m, m)
+                )
+                leave = jnp.where(any_pos, leave, 0)
             do_pivot = eligible & any_pos
             if partial:
                 stop_status = jnp.where(
@@ -481,7 +543,7 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "a_resident", "n_blk", "stall_limit",
-                     "partial", "interpret"),
+                     "partial", "packed", "interpret"),
     donate_argnums=(4, 5, 6, 7, 8),
 )
 def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
@@ -489,7 +551,8 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
                          opt_tol: float, pivot_tol: float, dual: bool = False,
                          feas_tol: float = 1e-6, a_resident: bool = True,
                          n_blk: int = 256, stall_limit: int = 0,
-                         partial: bool = False, interpret=None):
+                         partial: bool = False, packed: bool = False,
+                         interpret=None):
     """Run up to ``seg_len`` simplex iterations per lane (large-m regime).
 
     Shapes as :func:`solve_kernel.solve_segment` minus the devex weights:
@@ -515,7 +578,7 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         raise ValueError("partial pricing: primal mode only")
     kernel = functools.partial(
         _stream_kernel, seg_len, pricing, opt_tol, pivot_tol, dual,
-        feas_tol, a_resident, n_blk, stall_limit, partial,
+        feas_tol, a_resident, n_blk, stall_limit, partial, packed,
     )
 
     def lane(i):

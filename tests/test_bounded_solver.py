@@ -250,3 +250,32 @@ def test_bounded_mega_kernel_bazaraa():
     assert int(np.asarray(res.status)[0]) == st.OPTIMAL
     np.testing.assert_allclose(
         np.asarray(res.x)[0], [2 / 3, 6.0, 8 / 3, 0.0, 0.0], atol=1e-3)
+
+
+def test_bounded_packed_select_same_answers():
+    """Packed-key fused selection in the bounded kernel: same statuses and
+    costs as the unpacked kernel (tie-breaks may differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from linprog_tpu import SolverConfig
+    from linprog_tpu import bounded as bnd
+    from linprog_tpu import status as st
+    from linprog_tpu.batch import solve_batch_bounded
+    from linprog_tpu.generators import device_bounded_lps
+
+    B, m, n = 8, 10, 12
+    c, A, b, lb, ub = device_bounded_lps(jax.random.PRNGKey(4), B, m, n)
+    basis = jnp.broadcast_to(jnp.arange(n, n + m, dtype=jnp.int32), (B, m))
+    var_state = jnp.concatenate(
+        [jnp.zeros((B, n), jnp.int8),
+         jnp.full((B, m), int(bnd.BASIC), jnp.int8)], axis=1)
+    cfg = SolverConfig(refactor_every=16, kernels="pallas")
+    ref = solve_batch_bounded(c, A, b, lb, ub, basis, var_state, 500, cfg)
+    out = solve_batch_bounded(c, A, b, lb, ub, basis, var_state, 500,
+                              cfg.replace(packed_select=True))
+    assert np.array_equal(np.asarray(ref.status), np.asarray(out.status))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    np.testing.assert_allclose(
+        np.asarray(out.cost), np.asarray(ref.cost), rtol=2e-4, atol=2e-4
+    )

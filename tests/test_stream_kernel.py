@@ -218,3 +218,29 @@ def test_run_batched_dispatches_streaming(monkeypatch):
     run_batched(cs, As, bs, states, allowed, 10,
                 SolverConfig(kernels="pallas"))
     assert called["variant"] == "resident"
+
+
+@pytest.mark.parametrize("variant,n_blk", [("resident", 0), ("stream", 8)])
+def test_stream_packed_select_same_answers(variant, n_blk):
+    """Packed-key fused selection in the streaming kernel: tie-breaks may
+    differ, but statuses, optimality, and costs must match unpacked."""
+    cs, As, bs, states, allowed = _setup(seed=9)
+    cfg = SolverConfig(
+        pricing="dantzig", refactor_every=16, kernels="pallas"
+    )
+    ref = run_batched_stream(cs, As, bs, states, allowed, 200, cfg,
+                             variant=variant, n_blk=n_blk)
+    states2 = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(
+        As, bs, ref.basis * 0 + states.basis
+    )
+    out = run_batched_stream(cs, As, bs, states2, allowed, 200,
+                             cfg.replace(packed_select=True),
+                             variant=variant, n_blk=n_blk)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    cB_r = np.take_along_axis(np.asarray(cs), np.asarray(ref.basis), axis=1)
+    cB_o = np.take_along_axis(np.asarray(cs), np.asarray(out.basis), axis=1)
+    np.testing.assert_allclose(
+        (cB_o * np.asarray(out.bfs)).sum(axis=1),
+        (cB_r * np.asarray(ref.bfs)).sum(axis=1), rtol=2e-4, atol=2e-4,
+    )
