@@ -34,6 +34,8 @@ def main():
                     help="stall_limit (bench default is 24; 0 disables)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="inner-loop unroll factor (SolverConfig.unroll)")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-key fused selection (packed_select)")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +98,7 @@ def main():
                 basis, pen, gamma, it, stt, seg_len=seg, pricing=1,
                 opt_tol=cfg.opt_tol, pivot_tol=cfg.pivot_tol,
                 use_at=True, ablate=ablate, stall_limit=args.stall,
-                unroll=args.unroll,
+                unroll=args.unroll, packed=args.packed,
             )
 
         out = call(packed())  # compile + warm

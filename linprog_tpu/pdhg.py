@@ -528,10 +528,13 @@ def pdhg_solve_batch_sparse(c, rows, cols, vals, q, n_eq: int, lb, ub,
     Returns the final :class:`PDHGState` with a leading batch dim.
     """
     m, n = shape
+    dtype = cfg.jnp_dtype
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     return _sparse_batch_jit(
-        c, rows, cols, vals, q, lb, ub, jnp.asarray(maxiters, jnp.int32),
+        jnp.asarray(c, dtype), rows, cols, jnp.asarray(vals, dtype),
+        jnp.asarray(q, dtype), jnp.asarray(lb, dtype),
+        jnp.asarray(ub, dtype), jnp.asarray(maxiters, jnp.int32),
         m, n, n_eq, cfg,
     )
 

@@ -243,3 +243,69 @@ def test_rhs_on_unknown_row_rejected_or_ignored(tmp_path):
     p.write_text(text)
     prob = read_mps(str(p))  # parses; unknown range row ignored
     assert np.isnan(prob.ranges[0])
+
+
+def test_fuzz_corrupted_files_never_crash(tmp_path):
+    """Randomized corruption fuzz: the C++ reader must either parse or
+    raise ValueError -- never crash the process, hang, or silently return
+    a malformed problem object (VERDICT round-1 item 9)."""
+    base = textwrap.dedent("""\
+        NAME FUZZBASE
+        ROWS
+         N  OBJ
+         L  R1
+         G  R2
+         E  R3
+        COLUMNS
+            X1  OBJ  1.0   R1  2.0
+            X1  R2   1.0   R3  1.0
+            X2  OBJ  -2.0  R1  1.0
+            X2  R3   1.0
+        RHS
+            RHS R1  10.0  R2  1.0
+            RHS R3  3.0
+        RANGES
+            RNG R1  4.0
+        BOUNDS
+         UP BND X1  8.0
+         LO BND X2  0.5
+        ENDATA
+        """)
+    rng = np.random.default_rng(0)
+    lines = base.splitlines(keepends=True)
+    n_parsed = n_rejected = 0
+    for trial in range(40):
+        kind = trial % 5
+        if kind == 0:  # truncate at a random byte
+            cut = int(rng.integers(1, len(base)))
+            text = base[:cut]
+        elif kind == 1:  # drop a random line
+            i = int(rng.integers(0, len(lines)))
+            text = "".join(lines[:i] + lines[i + 1:])
+        elif kind == 2:  # duplicate a random line
+            i = int(rng.integers(0, len(lines)))
+            text = "".join(lines[:i] + [lines[i]] + lines[i:])
+        elif kind == 3:  # replace a random token with garbage
+            toks = base.split(" ")
+            j = int(rng.integers(0, len(toks)))
+            toks[j] = "\x7f@!" if toks[j].strip() else toks[j]
+            text = " ".join(toks)
+        else:  # splice random bytes into the middle
+            cut = int(rng.integers(0, len(base)))
+            junk = bytes(rng.integers(33, 127, 12)).decode("ascii")
+            text = base[:cut] + junk + base[cut:]
+        p = tmp_path / f"fuzz{trial}.mps"
+        p.write_text(text)
+        try:
+            prob = read_mps(str(p))
+        except ValueError:
+            n_rejected += 1
+            continue
+        # accepted parses must be structurally sane
+        m, n = prob.A.shape
+        assert len(prob.col_names) == n and len(prob.row_names) == m
+        assert prob.rhs.shape == (m,) and prob.c.shape == (n,)
+        assert prob.lb.shape == (n,) and prob.ub.shape == (n,)
+        n_parsed += 1
+    # both outcomes must actually occur across the corpus
+    assert n_parsed > 0 and n_rejected > 0, (n_parsed, n_rejected)
