@@ -184,6 +184,52 @@ def run_bounded(jax, m, n, chunk, maxiters, cfg, highs_samples):
     }
 
 
+def run_warm_start(jax, m, n, chunk, maxiters, cfg):
+    """Warm-started RHS re-optimization datapoint (dual mega-kernel)."""
+    import jax.numpy as jnp
+
+    from linprog_tpu.batch import (
+        batch_summary,
+        reoptimize_batch_new_rhs,
+        solve_batch_two_phase,
+    )
+    from linprog_tpu.generators import (
+        device_inequality_lps,
+        device_standard_form_batch,
+    )
+
+    @jax.jit
+    def gen(key):
+        c, G, h = device_inequality_lps(key, chunk, m, n)
+        cs, As, bs = device_standard_form_batch(c, G, h)
+        kb = jax.random.fold_in(key, 1)
+        noise = 1.0 + 0.05 * jax.random.normal(kb, bs.shape, bs.dtype)
+        return cs, As, bs, bs * noise
+
+    cs, As, bs, bs_new = gen(jax.random.PRNGKey(3))
+    base = solve_batch_two_phase(cs, As, bs, maxiters, maxiters, cfg)
+    s_base = batch_summary(base)
+
+    def warm():
+        return reoptimize_batch_new_rhs(cs, As, bs_new, base.basis,
+                                        maxiters, cfg)
+
+    r = warm()  # compile + warm
+    np.asarray(r.cost)
+    t0 = time.time()
+    r = warm()
+    s = batch_summary(r)
+    wall = time.time() - t0
+    return {
+        "lps_per_sec": round(chunk / wall, 2),
+        "wall_sec": round(wall, 3),
+        "optimal": s["optimal"],
+        "lanes": chunk,
+        "mean_warm_iters": round(s["total_pivots"] / chunk, 1),
+        "mean_fresh_iters": round(s_base["total_pivots"] / chunk, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
@@ -245,6 +291,9 @@ def main():
         extras["bounded_m256"] = run_bounded(
             jax, 256, 256, 1024, 3 * args.maxiters,
             cfg.replace(pricing="dantzig", polish_pivots=0), 4,
+        )
+        extras["warm_rhs_m256"] = run_warm_start(
+            jax, 256, 256, 1024, args.maxiters, cfg,
         )
 
     out = {
