@@ -51,8 +51,9 @@ def main():
     cs, As, bs = gen(jax.random.PRNGKey(0))
     np.asarray(cs[0, :1])  # force
 
-    cfg = SolverConfig(pricing="dantzig", refactor_every=192,
-                       kernels="pallas", polish_pivots=0)
+    cfg = SolverConfig(pricing="dantzig", refactor_every=512,
+                       kernels="pallas", polish_pivots=0,
+                       packed_select=True)
     real_variant = engine_batched._stream_variant
     paths = [("stream", lambda mm, nn, **k: ("stream", args.n_blk))]
     if not args.skip_xla:

@@ -3,7 +3,10 @@
 The reference has no checkpointing, but its API is resumable by construction
 (``solve(maxiters=1)`` continues from live state -- SURVEY.md section 5).
 Here the whole solver state is an explicit pytree (:class:`SimplexState` /
-:class:`BoundedState`), so checkpointing is just (de)serializing a pytree.
+:class:`BoundedState` / :class:`PDHGState`), so checkpointing is just
+(de)serializing a pytree; resume is exact because each state carries its
+full iteration context (PDHG: iterates, averages, restart anchors,
+adapted primal weight).
 Two backends:
 
 * plain ``.npz`` (zero dependencies, host-side) -- :func:`save_state` /
@@ -23,9 +26,14 @@ import numpy as np
 
 from .bounded import BoundedState
 from .engine import SimplexState
+from .pdhg import PDHGState
 
-_STATE_TYPES = {"SimplexState": SimplexState, "BoundedState": BoundedState}
-StateLike = Union[SimplexState, BoundedState]
+_STATE_TYPES = {
+    "SimplexState": SimplexState,
+    "BoundedState": BoundedState,
+    "PDHGState": PDHGState,
+}
+StateLike = Union[SimplexState, BoundedState, PDHGState]
 
 
 def save_state(path: str, state: StateLike) -> None:

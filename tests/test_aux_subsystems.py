@@ -104,3 +104,32 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.inv_B), np.asarray(solver.state.inv_B), rtol=1e-6
     )
+
+
+def test_pdhg_checkpoint_roundtrip_and_exact_resume(tmp_path):
+    """PDHG state checkpoints like the simplex states, and resuming from a
+    mid-solve checkpoint reproduces the uninterrupted run exactly (the
+    state carries iterates, averages, restart anchors, and omega)."""
+    import jax.numpy as jnp
+
+    from linprog_tpu.pdhg import DEFAULT_PDHG_CONFIG, _pdhg_core
+
+    c = jnp.asarray([-1.0, -2.0])
+    K = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+    q = jnp.asarray([4.0, 2.0])
+    lb = jnp.zeros(2)
+    ub = jnp.full(2, jnp.inf)
+    init, run = _pdhg_core(c, K, q, 0, lb, ub, DEFAULT_PDHG_CONFIG)
+
+    mid = run(init(), 256)
+    path = str(tmp_path / "pdhg_state")
+    save_state(path, mid)
+    restored = load_state(path)
+    assert type(restored).__name__ == "PDHGState"
+
+    full = run(mid, 100_000)
+    resumed = run(restored, 100_000)
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(resumed.x))
+    np.testing.assert_array_equal(
+        np.asarray(full.iters), np.asarray(resumed.iters)
+    )
