@@ -34,6 +34,7 @@ from .crossover import (
 )
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
+from .presolve_host import presolve_problem, solve_with_presolve
 from .ranging import RangingResult, ranging, ranging_batch
 from .config import DEFAULT_CONFIG, SolverConfig
 from .engine import SimplexState
