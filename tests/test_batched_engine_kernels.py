@@ -90,3 +90,24 @@ def test_compact_refactorize_bit_exact():
         r = np.asarray(run)
         assert np.array_equal(np.asarray(inv_c)[r], np.asarray(inv_f)[r])
         assert np.array_equal(np.asarray(bfs_c)[r], np.asarray(bfs_f)[r])
+
+
+def test_newton_schulz_refactor_method():
+    """The guarded NS refactorization (kept as a recorded experiment,
+    `refactor_method="ns"`) must still solve correctly: same statuses and
+    near-identical costs as exact inversion, via its polish loop."""
+    c1, A1, bsj, states, allowed = _setup(seed=11)
+    base = SolverConfig(
+        pricing="dantzig", kernels="pallas", refactor_every=8
+    )
+    ref = run_batched(c1, A1, bsj, states, allowed, 300, base)
+    c1b, A1b, bsjb, states2, _ = _setup(seed=11)
+    out = run_batched(c1b, A1b, bsjb, states2, allowed, 300,
+                      base.replace(refactor_method="ns"))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    cB_r = np.take_along_axis(np.asarray(c1), np.asarray(ref.basis), axis=1)
+    cB_o = np.take_along_axis(np.asarray(c1), np.asarray(out.basis), axis=1)
+    np.testing.assert_allclose(
+        (cB_o * np.asarray(out.bfs)).sum(axis=1),
+        (cB_r * np.asarray(ref.bfs)).sum(axis=1), rtol=5e-4, atol=5e-4,
+    )
