@@ -68,12 +68,6 @@ class ReducedProblem:
     c_offset: float = 0.0  # cost contribution of eliminated variables
 
 
-def _as2d(M, n):
-    if M is None:
-        return np.zeros((0, n), np.float64), np.zeros((0,), np.float64)
-    return None
-
-
 def presolve_problem(c, A=None, b=None, G=None, h=None, lb=None, ub=None,
                      tol: float = 1e-9, max_rounds: int = 20
                      ) -> ReducedProblem:
