@@ -90,6 +90,18 @@ class _SimplexSolverBase:
         """The explicit, checkpointable solver state pytree."""
         return self._state
 
+    def ranging(self):
+        """Sensitivity intervals at the current (optimal) basis.
+
+        Returns :class:`linprog_tpu.ranging.RangingResult` for this
+        standard-form problem; call after ``solve()`` reached OPTIMAL
+        (ranging at a non-optimal basis reports that basis's stability
+        region, which is rarely what you want).
+        """
+        from .ranging import ranging as _ranging
+
+        return _ranging(self.c, self.A, self.b, self._state)
+
     # -- operations ---------------------------------------------------------
     def pivot(self, col_in_basis_to_leave_basis: int, col_in_A_to_enter_basis: int):
         """Explicit single pivot (reference ``primal_solvers.py:255-263``)."""

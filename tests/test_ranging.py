@@ -105,3 +105,19 @@ def test_ranging_batch_matches_single():
         for a, bfield in zip(batch, one):
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(bfield),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_solver_class_ranging_method():
+    """The standard-form solver classes expose .ranging() directly."""
+    from tests.problems import PRIMAL_PROBLEMS
+
+    from linprog_tpu import PrimalRevisedSimplexSolver
+
+    p = PRIMAL_PROBLEMS[0]
+    s = PrimalRevisedSimplexSolver(p.c, p.A, p.b, p.starting_basis)
+    res = s.solve(maxiters=100)
+    assert res.optimum
+    r = s.ranging()
+    c = np.asarray(p.c, np.float64)
+    lo, hi = np.asarray(r.cost_lo), np.asarray(r.cost_hi)
+    assert (lo <= c + 1e-6).all() and (c <= hi + 1e-6).all()
