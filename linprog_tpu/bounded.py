@@ -229,7 +229,6 @@ def run_bounded_batched_pallas(c, A, b, lb, ub, state: BoundedState,
     use_at = _mega_kernel_fits(m, n, with_at=True)
     AT = (jnp.swapaxes(A, 1, 2) if use_at
           else jnp.zeros((B, 1, 128), A.dtype))
-    lanes = jnp.arange(B)
 
     c_row = c[:, None, :]
     lb_row = lb[:, None, :]
@@ -295,7 +294,6 @@ def run_bounded_batched_pallas(c, A, b, lb, ub, state: BoundedState,
     else:
         carry = seg(carry)
     invBT, bfs, cB, basis, vstate, lbB, ubB, iters, status = carry
-    del lanes
     return BoundedState(
         basis=basis[:, 0, :],
         inv_B=jnp.swapaxes(invBT, 1, 2),
