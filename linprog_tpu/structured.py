@@ -181,8 +181,82 @@ def sas_diet():
     return _prob("sas_diet", costs, G=G, h=h, lb=lb, ub=ub)
 
 
+def staff_scheduling(days: int = 14, shift_len: int = 5, seed: int = 0):
+    """Cyclic staffing LP: one shift starts each day and covers the next
+    ``shift_len`` days (mod ``days``); meet daily demand at minimum staff.
+    Circulant covering structure, typically fractional + degenerate."""
+    rng = np.random.default_rng(seed)
+    demand = rng.integers(3, 12, days).astype(np.float64)
+    G = np.zeros((days, days))
+    for s in range(days):
+        for d in range(shift_len):
+            G[(s + d) % days, s] = 1.0
+    # coverage >= demand  ->  -G x <= -demand
+    return _prob(
+        f"staff_{days}d{shift_len}_s{seed}",
+        np.ones(days), G=-G, h=-demand,
+    )
+
+
+def multicommodity_flow_grid(rows: int = 3, cols: int = 4, seed: int = 0):
+    """Two commodities share arc capacities on a directed grid: per-
+    commodity flow conservation (equalities) + joint capacity rows
+    (inequalities) -- the classic block-angular structure."""
+    rng = np.random.default_rng(seed)
+    nodes = [(r, c) for r in range(rows) for c in range(cols)]
+    idx = {v: i for i, v in enumerate(nodes)}
+    arcs = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                arcs.append(((r, c), (r, c + 1)))
+            if r + 1 < rows:
+                arcs.append(((r, c), (r + 1, c)))
+    na, nn = len(arcs), len(nodes)
+    inc = np.zeros((nn, na))
+    for a, (u, v) in enumerate(arcs):
+        inc[idx[u], a] = 1.0
+        inc[idx[v], a] = -1.0
+    # two commodities with distinct sources, both draining to the far
+    # corner (the only sink every source reaches on a down/right grid);
+    # they contend for the shared arc capacities near the sink
+    b1 = np.zeros(nn)
+    b1[idx[(0, 0)]] = 2.0
+    b1[idx[(rows - 1, cols - 1)]] = -2.0
+    b2 = np.zeros(nn)
+    b2[idx[(0, cols - 2)]] = 2.0
+    b2[idx[(rows - 1, cols - 1)]] = -2.0
+    A = np.block([
+        [inc, np.zeros((nn, na))],
+        [np.zeros((nn, na)), inc],
+    ])
+    b = np.concatenate([b1, b2])
+    cap = rng.integers(3, 6, na).astype(np.float64)
+    G = np.concatenate([np.eye(na), np.eye(na)], axis=1)  # joint capacity
+    cost = np.concatenate([
+        rng.integers(1, 9, na), rng.integers(1, 9, na)
+    ]).astype(np.float64)
+    return _prob(
+        f"mcflow_{rows}x{cols}_s{seed}", cost, A=A, b=b, G=G, h=cap,
+    )
+
+
+def knapsack_relaxation(n_items: int = 24, n_knap: int = 3, seed: int = 0):
+    """LP relaxation of the multi-knapsack problem: maximize value under
+    several weight budgets with 0 <= x <= 1 (generalized-upper-bound
+    structure; optima sit on fractional vertices)."""
+    rng = np.random.default_rng(seed)
+    value = rng.uniform(1.0, 10.0, n_items)
+    W = rng.uniform(1.0, 6.0, (n_knap, n_items))
+    cap = W.sum(axis=1) * 0.4
+    return _prob(
+        f"knap_{n_items}x{n_knap}_s{seed}",
+        -value, G=W, h=cap, ub=np.ones(n_items),
+    )
+
+
 def default_suite():
-    """The committed 12-instance acceptance suite."""
+    """The committed 15-instance acceptance suite."""
     return [
         transportation(5, 7, seed=0),
         transportation(10, 15, seed=1),
@@ -195,5 +269,8 @@ def default_suite():
         min_cost_flow_grid(4, 5, seed=0),
         chebyshev_center(30, 8, seed=0),
         set_covering(30, 12, seed=0),
+        staff_scheduling(14, 5, seed=0),
+        multicommodity_flow_grid(3, 4, seed=0),
+        knapsack_relaxation(24, 3, seed=0),
         sas_diet(),
     ]
