@@ -105,6 +105,11 @@ def solve_batch_two_phase(
     infeasible = (states.status == st.OPTIMAL) & (art_cost > cfg.feas_tol * scale)
     p1_stalled = states.status == st.RUNNING  # phase-I iteration cap
     phase1_iters = states.iters
+    # Phase-I duals at an infeasible optimum ARE a Farkas certificate:
+    # r_j = -y'A_j >= 0 for structural columns and y'b = artificial cost
+    # > 0 prove no feasible x exists (same certificate surface the PDHG
+    # family exposes).  Reported as `y` for PRIMAL_INFEASIBLE lanes.
+    y_farkas = jax.vmap(engine.duals)(c1, states)
 
     # ---- Phase II: structural columns only; artificials stay masked ------
     new_status = jnp.where(
@@ -155,7 +160,7 @@ def solve_batch_two_phase(
     # report x/cost in the structural space and the ORIGINAL scaling;
     # iters = Phase I + Phase II
     x = res.x[:, :n]
-    y = res.y
+    y = jnp.where(infeasible[:, None], y_farkas, res.y)
     if cfg.scaling:
         from .presolve import unscale_duals, unscale_solution
 

@@ -107,9 +107,14 @@ def solve_phase1(
     scale = max(1.0, float(np.max(np.abs(b))) if b.size else 1.0)
     if cost > cfg.feas_tol * scale * max(1, m):
         if int(state.status) == st.OPTIMAL:
-            raise st.PrimalIsInfeasibleError(
+            err = st.PrimalIsInfeasibleError(
                 f"Phase I optimum {cost:.3e} > 0: no feasible point exists."
             )
+            # Farkas certificate from the Phase-I duals: y'A <= 0 (the
+            # structural reduced costs are nonnegative at optimality) and
+            # y'b = artificial cost > 0 together prove infeasibility
+            err.certificate = np.asarray(engine.duals(c1, state))
+            raise err
         raise ValueError("Phase one did not converge.")
 
     state = drive_out_artificials(A1, b_dev, state, n, cfg)

@@ -45,7 +45,8 @@ class BatchResult(NamedTuple):
     ``x[B, n]``, ``basis[B, m]``, ``cost[B]``, ``iters[B]``, ``status[B]``,
     ``y[B, m]`` (dual variables / simplex multipliers at the terminal basis,
     None where not computed).  ``status`` uses the codes in
-    :mod:`linprog_tpu.status`.
+    :mod:`linprog_tpu.status`.  For ``PRIMAL_INFEASIBLE`` lanes ``y`` is a
+    Farkas infeasibility certificate: ``y'A <= 0`` and ``y'b > 0``.
     """
 
     x: jax.Array

@@ -103,3 +103,53 @@ def test_mixed_status_batch():
     assert status[0] == st.OPTIMAL
     assert status[1] == st.PRIMAL_INFEASIBLE
     assert status[2] == st.PRIMAL_UNBOUNDED
+
+
+def test_farkas_certificates_on_infeasible_lanes():
+    """PRIMAL_INFEASIBLE lanes report a verifiable Farkas ray in `y`:
+    y'A <= tol componentwise and y'b > 0 prove infeasibility."""
+    import jax.numpy as jnp
+
+    from linprog_tpu.batch import solve_batch_two_phase
+
+    rng = np.random.default_rng(17)
+    B, m, n = 6, 8, 10
+    feas_c, feas_G, feas_h = random_inequality_lps(B, m, n, seed=17)
+    cs, As, bs = to_standard_form_batch(feas_c, feas_G, feas_h)
+    As = np.asarray(As).copy()
+    bs = np.asarray(bs).copy()
+    # make lanes 1, 3 infeasible: two contradictory equality rows
+    for lane in (1, 3):
+        As[lane, 0, :] = 0.0
+        As[lane, 1, :] = 0.0
+        As[lane, 0, 0] = 1.0
+        As[lane, 1, 0] = 1.0
+        bs[lane, 0] = 1.0
+        bs[lane, 1] = 2.0  # x0 = 1 AND x0 = 2
+    res = solve_batch_two_phase(jnp.asarray(cs), jnp.asarray(As),
+                                jnp.asarray(bs), 300, 300)
+    status = np.asarray(res.status)
+    assert (status[[1, 3]] == st.PRIMAL_INFEASIBLE).all()
+    assert (status[[0, 2, 4, 5]] == st.OPTIMAL).all()
+    y = np.asarray(res.y)
+    for lane in (1, 3):
+        ray = y[lane]
+        assert (ray @ As[lane] <= 1e-5).all(), lane
+        assert ray @ bs[lane] > 1e-6, lane
+
+
+def test_farkas_certificate_on_single_api_path():
+    from linprog_tpu import SimplexSolver
+    from linprog_tpu.status import PrimalIsInfeasibleError
+
+    c = np.array([1.0])
+    A = np.array([[1.0], [1.0]])
+    b = np.array([1.0, 2.0])
+    with pytest.raises(PrimalIsInfeasibleError) as ei:
+        SimplexSolver(c, A=A, b=b).solve()
+    ray = getattr(ei.value, "certificate", None)
+    assert ray is not None
+    # certificate lives in the Phase-I (standard-form + bound-rows) space;
+    # the constraint block there starts with the original rows
+    m = b.shape[0]
+    assert ray[:m] @ b > 1e-8
