@@ -384,6 +384,64 @@ def solve_batch_general(
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def unbounded_rays(c, A, states: engine.SimplexState,
+                   cfg: SolverConfig = DEFAULT_CONFIG, allowed=None):
+    """Improving-ray certificates for PRIMAL_UNBOUNDED lanes.
+
+    For each lane whose terminal status is ``PRIMAL_UNBOUNDED``, returns a
+    ray ``d[B, n]`` with ``A d = 0``, ``d >= 0``, ``c'd < 0`` (the feasible
+    direction of unbounded descent the engine stopped on): entering
+    coordinate 1, basic coordinates ``-inv_B a_j``.  Other lanes get the
+    zero vector.  Completes the certificate surface: infeasible lanes
+    carry a Farkas ray in ``y`` (see :func:`solve_batch_two_phase`),
+    unbounded lanes get theirs here.
+
+    ``c``/``A``/``states`` are the arrays the engine ran on (for the
+    two-phase pipeline: the Phase-II ``[A | I]`` matrix and padded cost;
+    slice the leading ``n`` structural entries of the ray for the
+    original space -- artificial coordinates are always 0 in it).
+    """
+    B, m, n = A.shape
+
+    if allowed is None:
+        allowed = jnp.ones((n,), jnp.bool_)
+
+    def one(ci, Ai, state):
+        r = engine.reduced_costs(ci, Ai, state)
+        D = state.inv_B @ Ai  # [m, n] all candidate directions
+        no_ascent = ~jnp.any(D > cfg.pivot_tol, axis=0)
+        cand = (r < -cfg.opt_tol) & no_ascent & allowed
+        j = jnp.argmax(cand)  # first certificate column
+        ok = cand[j] & (state.status == st.PRIMAL_UNBOUNDED)
+        basics = jnp.where(D[:, j] < 0.0, -D[:, j], 0.0)  # clip tol noise
+        ray = jnp.zeros((n,), Ai.dtype).at[state.basis].set(basics)
+        ray = ray.at[j].set(1.0)
+        return jnp.where(ok, ray, jnp.zeros_like(ray))
+
+    return jax.vmap(one)(c, A, states)
+
+
+def unbounded_rays_from_result(c, A, result: BatchResult,
+                               cfg: SolverConfig = DEFAULT_CONFIG):
+    """Improving rays for a :func:`solve_batch_two_phase` result.
+
+    Rebuilds the Phase-II arrays (``[A | I]``, padded cost) from the
+    ORIGINAL ``c[B, n], A[B, m, n]`` and the result's terminal basis, and
+    returns rays in the ORIGINAL structural space (``[B, n]``; zero for
+    lanes that are not PRIMAL_UNBOUNDED)."""
+    B, m, n = A.shape
+    dt = A.dtype
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
+    A1 = jnp.concatenate([A, eye], axis=2)
+    c2 = jnp.concatenate([jnp.asarray(c, dt), jnp.zeros((B, m), dt)], axis=1)
+    states = jax.vmap(engine.make_state)(A1, jnp.zeros((B, m), dt),
+                                         result.basis)
+    states = states._replace(status=result.status)
+    allowed = jnp.arange(n + m) < n  # artificials cannot carry the ray
+    return unbounded_rays(c2, A1, states, cfg, allowed=allowed)[:, :n]
+
+
 def batch_summary(result: BatchResult) -> dict:
     """Host-side aggregate metrics (observability; SURVEY.md section 5)."""
     import numpy as np

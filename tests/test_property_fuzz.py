@@ -153,3 +153,39 @@ def test_farkas_certificate_on_single_api_path():
     # the constraint block there starts with the original rows
     m = b.shape[0]
     assert ray[:m] @ b > 1e-8
+
+
+def test_unbounded_ray_certificates():
+    """PRIMAL_UNBOUNDED lanes yield a verifiable improving ray:
+    A d = 0, d >= 0, c'd < 0; other lanes return the zero vector."""
+    import jax.numpy as jnp
+
+    from linprog_tpu.batch import (
+        solve_batch_two_phase,
+        unbounded_rays_from_result,
+    )
+
+    feas_c, feas_G, feas_h = random_inequality_lps(4, 6, 8, seed=23)
+    cs, As, bs = to_standard_form_batch(feas_c, feas_G, feas_h)
+    cs = np.asarray(cs).copy()
+    As = np.asarray(As).copy()
+    bs = np.asarray(bs).copy()
+    # lane 2: make the first two structural columns an unbounded direction
+    # x0 = x1 -> A (e0 + e1) = 0 with cost c0 + c1 < 0
+    As[2, :, 0] = -As[2, :, 1]
+    cs[2, 0] = -1.0
+    cs[2, 1] = -1.0
+    res = solve_batch_two_phase(jnp.asarray(cs), jnp.asarray(As),
+                                jnp.asarray(bs), 300, 300)
+    status = np.asarray(res.status)
+    assert status[2] == st.PRIMAL_UNBOUNDED
+    rays = np.asarray(unbounded_rays_from_result(
+        jnp.asarray(cs), jnp.asarray(As), res))
+    for lane in range(4):
+        if lane == 2:
+            d = rays[2]
+            assert (d >= 0).all()
+            assert np.abs(As[2] @ d).max() < 1e-4
+            assert cs[2] @ d < -1e-6
+        else:
+            assert (rays[lane] == 0).all(), lane
