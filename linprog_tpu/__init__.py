@@ -49,7 +49,7 @@ from .status import (
     PrimalIsUnboundedError,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "PrimalNaiveSimplexSolver",
@@ -74,4 +74,11 @@ __all__ = [
     "PrimalIsInfeasibleError",
     "DualIsUnboundedError",
     "DualIsInfeasibleError",
+    "crossover_batch_canonical",
+    "pdhg_crossover_batch_canonical",
+    "ranging",
+    "ranging_batch",
+    "RangingResult",
+    "presolve_problem",
+    "solve_with_presolve",
 ]
