@@ -273,20 +273,24 @@ def main():
     extras = {}
     # extra size datapoints: mega-kernel at m=512 (raised VMEM cap),
     # streaming kernel (resident variant) at m=1024
-    # chunk sizes tuned on v5e: m=512 gains +23% at chunk=256 (fixed
-    # overheads amortize across lanes); m=1024 is flat in chunk (the
-    # streaming kernel already amortizes) so it stays small for wall time
+    # chunk/seg tuned per size on v5e: m=512 gains +23% at chunk=256
+    # (fixed overheads amortize across lanes) and +9% at seg=768 (longer
+    # solves want longer segments once compact refactorization makes the
+    # between-segment inversion cheap); m=1024 is flat in chunk but +5%
+    # at seg=1024
     size_cfg = {
-        512: dict(chunk=256, chunks=1, maxiters=4000, highs_samples=2),
-        1024: dict(chunk=32, chunks=1, maxiters=6000, highs_samples=1),
+        512: dict(chunk=256, chunks=1, maxiters=4000, highs_samples=2,
+                  seg=768),
+        1024: dict(chunk=32, chunks=1, maxiters=6000, highs_samples=1,
+                   seg=1024),
     }
     for tok in filter(None, args.sizes.split(",")):
         m = int(tok)
         sc = size_cfg.get(m, dict(chunk=32, chunks=1, maxiters=6000,
-                                  highs_samples=1))
+                                  highs_samples=1, seg=1024))
         extras[f"m{m}"] = run_size(
-            jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"], cfg,
-            sc["highs_samples"],
+            jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"],
+            cfg.replace(refactor_every=sc["seg"]), sc["highs_samples"],
         )
     if args.sizes:
         # bounded solves take ~2000-2400 iterations at m=256 (bound flips
