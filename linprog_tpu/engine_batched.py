@@ -433,6 +433,16 @@ def _stream_variant(m: int, n: int, itemsize: int = 4,
         stream = (2 * m * n_blk + 2 * m * m) * itemsize + rows
         if stream <= 48 * 1024 * 1024:
             return ("stream", n_blk)
+    # blocked-factor regime (m up to ~4096): the factor is consumed in
+    # (RB, m) ref slices so only ONE m*m scratch lives in VMEM, plus the
+    # DMA slots and an (RB, m) block temp; primal-only (the driver sends
+    # dual mode to the vmapped engine)
+    for n_blk in (256, 128):
+        if n % n_blk:
+            continue
+        need = (m * m + 2 * m * n_blk + 2 * 512 * m) * itemsize + rows
+        if need <= 92 * 1024 * 1024:
+            return ("stream_blocked", n_blk)
     return None
 
 
@@ -467,6 +477,8 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
         n_blk = 256 if n % 256 == 0 else 0
         partial = n_blk > 0
 
+    factor_blocked = variant == "stream_blocked"
+
     def seg(carry):
         invBT, bfs, cB, basis, pen, iters, status = carry
         return solve_segment_stream(
@@ -475,8 +487,9 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
             seg_len=seg_len, pricing=pricing_code, opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol, dual=(mode == "dual"),
             feas_tol=cfg.feas_tol, a_resident=(variant == "resident"),
-            n_blk=n_blk, stall_limit=cfg.stall_limit, partial=partial,
-            packed=cfg.packed_select,
+            n_blk=n_blk, stall_limit=cfg.stall_limit,
+            partial=partial and not factor_blocked,
+            packed=cfg.packed_select, factor_blocked=factor_blocked,
         )
 
     def any_running(carry):
@@ -561,7 +574,9 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             return run_batched_pallas(c, A, b, state, allowed, maxiters, cfg,
                                       mode)
         variant = _stream_variant(m, n)
-        if variant is not None:
+        if variant is not None and not (
+            variant[0] == "stream_blocked" and mode == "dual"
+        ):  # blocked-factor mode is primal-only
             return run_batched_stream(
                 c, A, b, state, allowed, maxiters, cfg, mode,
                 variant=variant[0], n_blk=variant[1],

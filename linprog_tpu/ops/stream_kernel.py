@@ -86,10 +86,25 @@ def _dotg(a, b, a_dim, b_dim):
     )
 
 
+def _factor_rb(m: int) -> int:
+    """Row-block size for the blocked-factor mode (must divide m)."""
+    if m >= 4096 and m % 256 == 0:
+        # smaller blocks at the top of the range: the m x m factor alone
+        # is 67 MB at m=4096, so block temps must stay small (measured:
+        # RB=512 put the scoped allocation at 106 MB)
+        return 256
+    if m >= 2048 and m % 512 == 0:
+        return 512
+    for rb in (8, 4, 2):
+        if m % rb == 0 and rb < m:
+            return rb
+    return m
+
+
 def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                    pivot_tol: float, dual: bool, feas_tol: float,
                    a_resident: bool, n_blk: int, stall_limit: int,
-                   partial: bool, packed: bool,
+                   partial: bool, packed: bool, factor_blocked: bool,
                    # inputs
                    AT_hbm, c_ref, apen_ref, maxiters_ref,
                    iters_in_ref, status_in_ref, invBT_hbm,
@@ -178,9 +193,35 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         seg, iters, status = carry[0], carry[1], carry[2]
         return (status == st.RUNNING) & (seg < seg_len) & (iters < maxiters)
 
+    RB = _factor_rb(m)
+
+    def _y_from_factor(cB):
+        """y = c_B inv_B without materializing the m x m factor value.
+
+        Output block j of y needs only rows [j0, j0+RB) of inv_B^T, so
+        the factor is consumed in (RB, m) ref slices -- the whole-value
+        read is what blows the scoped-VMEM budget past m ~= 2048."""
+        parts = [
+            _dotg(cB, invbt_buf[pl.ds(r0, RB), :], 1, 1)
+            for r0 in range(0, m, RB)
+        ]
+        return jnp.concatenate(parts, axis=1)  # (1, m)
+
+    def _d_from_factor(a_row):
+        """d = (inv_B a)^T: contraction over factor ROWS, accumulated
+        block by block."""
+        d = jnp.zeros((1, m), jnp.float32)
+        for k0 in range(0, m, RB):
+            d = d + _dotg(
+                lax.slice(a_row, (0, k0), (1, k0 + RB)),
+                invbt_buf[pl.ds(k0, RB), :], 1, 0,
+            )
+        return d
+
     def body(carry):
         seg, iters, status, z, dz_prev, stall, bland, sec, empty = carry
-        invBT = invbt_buf[...]  # (m, m)
+        # blocked-factor mode never reads the whole factor as one value
+        invBT = None if factor_blocked else invbt_buf[...]  # (m, m)
         bfs = bfs_ref[0]  # (1, m)
         cB = cB_ref[0]
         basis = basis_ref[0]
@@ -312,7 +353,10 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         else:
             # ---- primal: pricing, then entering selection ---------------
             pen = pen_ref[0]  # (1, n)
-            y = _dotg(cB, invBT, 1, 1)  # (1, m)
+            if factor_blocked:
+                y = _y_from_factor(cB)  # (1, m)
+            else:
+                y = _dotg(cB, invBT, 1, 1)  # (1, m)
             if a_resident:
                 r = c_ref[0] - _dotg(y, a_buf[...], 1, 1) + pen
             else:
@@ -366,7 +410,10 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                 AT_hbm.at[i, pl.ds(enter_al, fetch), :], arow_buf, sem.at[3]
             ).wait()
             a_row = arow_buf[pl.ds(enter - enter_al, 1), :]
-        d = _dotg(a_row, invBT, 1, 0)  # (1, m) = (inv_B a)^T
+        if factor_blocked:
+            d = _d_from_factor(a_row)  # (1, m) = (inv_B a)^T
+        else:
+            d = _dotg(a_row, invBT, 1, 0)  # (1, m) = (inv_B a)^T
 
         if not dual:
             pos = d > pivot_tol
@@ -457,33 +504,7 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
         # ---- rank-1 eta update of inv_B^T (in VMEM scratch), predicated:
         # a no-pivot iteration (terminal check, or an exhausted section in
         # partial mode) skips the O(m^2) read-modify-write entirely
-        @pl.when(do_pivot)
-        def _eta():
-            onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
-            col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1)
-            if m > _ETA_BLOCK_ABOVE_M:
-                # row-blocked in-place update: the single-shot
-                # ``invbt_buf[...] = invBT + col_l * u`` makes Mosaic
-                # materialize ~2 extra m x m temporaries (the broadcast
-                # product and the sum), which alone blow the scoped-VMEM
-                # cap at m = 2048 (measured 110.95 MB vs the 100 MB
-                # limit).  512-row blocks cap the temp at 4 MB.
-                RB = 512 if m > 512 else 8
-                for r0 in range(0, (m // RB) * RB, RB):
-                    invbt_buf[pl.ds(r0, RB), :] = (
-                        invbt_buf[pl.ds(r0, RB), :]
-                        + lax.slice(col_l, (r0, 0), (r0 + RB, 1)) * u
-                    )
-                if m % RB:
-                    r0 = (m // RB) * RB
-                    invbt_buf[pl.ds(r0, m - r0), :] = (
-                        invbt_buf[pl.ds(r0, m - r0), :]
-                        + lax.slice(col_l, (r0, 0), (m, 1)) * u
-                    )
-            else:
-                invbt_buf[...] = invBT + col_l * u
-            bfs_ref[0] = bfs + u * bfs_l
-
+        def _bookkeeping():
             # ---- bookkeeping: basis, c_B, penalty -----------------------
             basis_ref[0] = jnp.where(at_leave, enter, basis).astype(jnp.int32)
             cB_ref[0] = jnp.where(at_leave, c_enter, cB)
@@ -505,6 +526,45 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
                     jnp.inf,
                     jnp.where(lane_n == leaving_col, apen_ref[0], pen2),
                 )
+
+        @pl.when(do_pivot)
+        def _eta():
+            onehot_l = jnp.where(subl_m == leave, 1.0, 0.0)  # (m, 1)
+            if factor_blocked:
+                # per-block: extract this block's slice of the leaving
+                # column (it depends only on the block's own rows), then
+                # update the block in place -- no whole-factor value ever
+                for r0 in range(0, m, RB):
+                    blk = invbt_buf[pl.ds(r0, RB), :]  # (RB, m)
+                    colb = _dotg(blk, onehot_l, 1, 0)  # (RB, 1)
+                    invbt_buf[pl.ds(r0, RB), :] = blk + colb * u
+                bfs_ref[0] = bfs + u * bfs_l
+                _bookkeeping()
+                return
+            col_l = _dotg(invBT, onehot_l, 1, 0)  # (m, 1)
+            if m > _ETA_BLOCK_ABOVE_M:
+                # row-blocked in-place update: the single-shot
+                # ``invbt_buf[...] = invBT + col_l * u`` makes Mosaic
+                # materialize ~2 extra m x m temporaries (the broadcast
+                # product and the sum), which alone blow the scoped-VMEM
+                # cap at m = 2048 (measured 110.95 MB vs the 100 MB
+                # limit).  512-row blocks cap the temp at 4 MB.
+                RB2 = 512 if m > 512 else 8
+                for r0 in range(0, (m // RB2) * RB2, RB2):
+                    invbt_buf[pl.ds(r0, RB2), :] = (
+                        invbt_buf[pl.ds(r0, RB2), :]
+                        + lax.slice(col_l, (r0, 0), (r0 + RB2, 1)) * u
+                    )
+                if m % RB2:
+                    r0 = (m // RB2) * RB2
+                    invbt_buf[pl.ds(r0, m - r0), :] = (
+                        invbt_buf[pl.ds(r0, m - r0), :]
+                        + lax.slice(col_l, (r0, 0), (m, 1)) * u
+                    )
+            else:
+                invbt_buf[...] = invBT + col_l * u
+            bfs_ref[0] = bfs + u * bfs_l
+            _bookkeeping()
 
         # exact objective change of this pivot (see solve_kernel)
         if track_stall:
@@ -543,7 +603,7 @@ def _stream_kernel(seg_len: int, pricing: int, opt_tol: float,
     jax.jit,
     static_argnames=("seg_len", "pricing", "opt_tol", "pivot_tol", "dual",
                      "feas_tol", "a_resident", "n_blk", "stall_limit",
-                     "partial", "packed", "interpret"),
+                     "partial", "packed", "factor_blocked", "interpret"),
     donate_argnums=(4, 5, 6, 7, 8),
 )
 def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
@@ -552,7 +612,7 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
                          feas_tol: float = 1e-6, a_resident: bool = True,
                          n_blk: int = 256, stall_limit: int = 0,
                          partial: bool = False, packed: bool = False,
-                         interpret=None):
+                         factor_blocked: bool = False, interpret=None):
     """Run up to ``seg_len`` simplex iterations per lane (large-m regime).
 
     Shapes as :func:`solve_kernel.solve_segment` minus the devex weights:
@@ -576,9 +636,12 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         raise ValueError(f"n={n} not divisible by n_blk={n_blk}")
     if partial and dual:
         raise ValueError("partial pricing: primal mode only")
+    if factor_blocked and (dual or partial):
+        raise ValueError("blocked-factor mode: plain primal only")
     kernel = functools.partial(
         _stream_kernel, seg_len, pricing, opt_tol, pivot_tol, dual,
         feas_tol, a_resident, n_blk, stall_limit, partial, packed,
+        factor_blocked,
     )
 
     def lane(i):
@@ -653,9 +716,11 @@ def solve_segment_stream(AT, c_row, apen, maxiters, invBT, bfs, cB, basis,
         interpret=interpret,
         # the default scoped-VMEM cap is 16 MB; v5e physically has 128 MiB
         # of VMEM, so let Mosaic use most of it (Mosaic's scoped allocation
-        # runs ~4x the operand estimate -- body temporaries etc.)
+        # runs ~4x the operand estimate -- body temporaries etc.).  116 MB:
+        # the blocked-factor mode at m=4096 measured 106 MB of scoped
+        # allocation against the earlier 100 MB request.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=116 * 1024 * 1024
         ),
     )(AT, c_row, apen, maxiters, iters, status, invBT, bfs, cB, basis, pen)
     if partial:  # restore the [B, 1, n] row contract for the driver

@@ -196,8 +196,12 @@ def test_stream_variant_dispatch():
     # scratch budget (validated on hardware, benchmarks/stream_m2048.py)
     v = _stream_variant(2048, 6144)
     assert v is not None and v[0] == "stream"
-    # past the factor ceiling (2 m^2 alone): no pallas variant
-    assert _stream_variant(3072, 9216) is None
+    # past the plain-stream factor ceiling (2 m^2 alone): the
+    # blocked-factor mode takes over up to m ~= 4096
+    assert _stream_variant(3072, 9216)[0] == "stream_blocked"
+    assert _stream_variant(4096, 12288)[0] == "stream_blocked"
+    # beyond even one m x m factor in VMEM: no pallas variant
+    assert _stream_variant(6144, 18432) is None
 
 
 def test_run_batched_dispatches_streaming(monkeypatch):
@@ -243,4 +247,25 @@ def test_stream_packed_select_same_answers(variant, n_blk):
     np.testing.assert_allclose(
         (cB_o * np.asarray(out.bfs)).sum(axis=1),
         (cB_r * np.asarray(ref.bfs)).sum(axis=1), rtol=2e-4, atol=2e-4,
+    )
+
+
+@pytest.mark.parametrize("pricing", ["dantzig", "bland"])
+def test_blocked_factor_parity_vs_xla(pricing):
+    """The blocked-factor mode (m > ~2048 on hardware; the factor is only
+    ever touched in (RB, m) ref slices) must match the XLA path exactly."""
+    cs, As, bs, states, allowed = _setup()
+    cfg = SolverConfig(pricing=pricing, refactor_every=16)
+    ref = run_batched(cs, As, bs, states, allowed, 200,
+                      cfg.replace(kernels="xla"))
+    states2 = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(
+        As, bs, states.basis
+    )
+    out = run_batched_stream(cs, As, bs, states2, allowed, 200,
+                             cfg.replace(kernels="pallas"),
+                             variant="stream_blocked", n_blk=8)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+    np.testing.assert_allclose(
+        np.asarray(out.bfs), np.asarray(ref.bfs), atol=2e-4, rtol=2e-4
     )
