@@ -1,10 +1,9 @@
-"""Does the streaming kernel reach m=2048 on hardware?
+"""Streaming-kernel vs XLA timing at large m (default 2048).
 
-``_stream_variant`` currently bails at m=2048 (its 24 MB operand budget
-assumes the 4x Mosaic inflation measured on the grid-pipelined
-mega-kernel; the stream kernel's slabs are manually-managed scratch that
-Mosaic does not double-buffer).  This forces ("stream", n_blk) dispatch
-at m=2048 and times it against the XLA fallback on the same batch.
+Historical note: ``_stream_variant`` originally bailed at m=2048; the
+dispatch now serves ("stream", n_blk) there natively and
+("stream_blocked", n_blk) up to m ~= 4096, so the forced-dispatch
+monkeypatch below only matters for the --skip-xla=false comparison leg.
 
 Run:  python benchmarks/stream_m2048.py --B 8 --maxiters 20000
 """
