@@ -237,7 +237,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024, help="lanes per device batch")
     ap.add_argument("--chunks", type=int, default=10, help="number of batches")
     ap.add_argument("--maxiters", type=int, default=2000)
-    ap.add_argument("--highs-samples", type=int, default=8)
+    # median over 16: single-core HiGHS timing varies ~2x with machine
+    # load and the headline multiplier inherits that noise (measured
+    # spread 120-149x across runs at 8 samples)
+    ap.add_argument("--highs-samples", type=int, default=16)
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
         "--sizes", default="512,1024",
