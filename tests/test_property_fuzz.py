@@ -189,3 +189,48 @@ def test_unbounded_ray_certificates():
             assert cs[2] @ d < -1e-6
         else:
             assert (rays[lane] == 0).all(), lane
+
+
+def test_ill_conditioned_instances_never_silently_wrong():
+    """Severely ill-conditioned LPs must either solve to the oracle's
+    optimum or report a non-OPTIMAL status -- never a silent wrong
+    OPTIMAL (the failure-detection surface, SURVEY section 5)."""
+    import jax.numpy as jnp
+
+    from scipy.optimize import linprog as highs
+
+    from linprog_tpu.batch import solve_batch_two_phase
+    from linprog_tpu.config import SolverConfig
+
+    rng = np.random.default_rng(31)
+    B, m, n = 6, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=31)
+    G = np.asarray(G, np.float64).copy()
+    # grade row scales over 6 orders of magnitude: cond(B) ~ 1e6+
+    scales = np.logspace(-3, 3, m)
+    G *= scales[None, :, None]
+    h = np.asarray(h, np.float64) * scales[None, :]
+    cs = np.concatenate([c, np.zeros((B, m), np.float32)], axis=1)
+    As = np.concatenate(
+        [G.astype(np.float32),
+         np.broadcast_to(np.eye(m, dtype=np.float32), (B, m, m))], axis=2
+    )
+    bs = h.astype(np.float32)
+    # f32 path with polish: the realistic TPU configuration
+    cfg = SolverConfig(pricing="dantzig", refactor_every=64,
+                       polish_pivots=8)
+    res = solve_batch_two_phase(jnp.asarray(cs), jnp.asarray(As),
+                                jnp.asarray(bs), 600, 600, cfg)
+    status = np.asarray(res.status)
+    costs = np.asarray(res.cost)
+    checked = 0
+    for i in range(B):
+        ref = highs(c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None),
+                    method="highs")
+        if ref.status != 0:
+            continue
+        if status[i] == st.OPTIMAL:
+            gap = abs(costs[i] - ref.fun) / max(1.0, abs(ref.fun))
+            assert gap < 5e-3, (i, gap)  # coarse: f32 at cond ~1e6
+            checked += 1
+    assert checked >= 3  # most lanes should still solve
