@@ -319,6 +319,7 @@ def solve_batch_general(
     maxiters1: int = 1000,
     maxiters2: int = 1000,
     cfg: SolverConfig = DEFAULT_CONFIG,
+    presolve: bool = False,
 ):
     """Solve a heterogeneous batch of general-form LPs in one device batch.
 
@@ -330,6 +331,14 @@ def solve_batch_general(
     :class:`LinProgResult`, one per instance, with ``x`` in each instance's
     original variable space.
 
+    ``presolve=True`` runs the host-side structural presolve per instance
+    before padding (the right place for dynamic-shape reductions:
+    eliminated rows/columns shrink the COMMON padded shape).  Instances
+    the presolve fully resolves (infeasible / unbounded / completely
+    determined) never reach the device; the rest solve reduced and are
+    postsolved back.  Bounds the presolve tightens are re-materialized as
+    inequality rows (this surface has no native bounds).
+
     This is the batched counterpart of the reference's single-instance
     ``SimplexSolver`` front end (reference ``linprog/simplex.py:10-102``),
     which has no batch concept at all.
@@ -340,14 +349,68 @@ def solve_batch_general(
     from .results import LinProgResult
 
     dtype = np.dtype(cfg.dtype)
+
+    direct = {}  # index -> LinProgResult decided by presolve
+    posts = {}  # index -> (Postsolve, c_orig)
     canon = []
-    for p in problems:
+    canon_idx = []
+    for i, p in enumerate(problems):
+        c_in, A_in, b_in = p["c"], p.get("A"), p.get("b")
+        G_in, h_in = p.get("G"), p.get("h")
+        c_orig = np.asarray(c_in, np.float64)
+        if presolve:
+            from .presolve_host import presolve_problem
+
+            red = presolve_problem(c_in, A_in, b_in, G_in, h_in)
+            if red.post.status in (st.PRIMAL_INFEASIBLE,
+                                   st.PRIMAL_UNBOUNDED):
+                direct[i] = LinProgResult(
+                    x=np.full(c_orig.shape, np.nan), basis=None,
+                    cost=float("nan"), iters=0, optimum=False,
+                    status=int(red.post.status),
+                )
+                continue
+            if red.post.keep_cols.size == 0:
+                x = red.post.expand(None)
+                direct[i] = LinProgResult(
+                    x=x, basis=None, cost=float(c_orig @ x), iters=0,
+                    optimum=True, status=st.OPTIMAL,
+                )
+                continue
+            # re-materialize tightened bounds as rows (no native bounds
+            # on this surface)
+            G_r, h_r = red.G, red.h
+            nr = red.c.shape[0]
+            ub_idx = np.flatnonzero(np.isfinite(red.ub))
+            lb_idx = np.flatnonzero(red.lb > 0)
+            extra_G = []
+            extra_h = []
+            for j in ub_idx:
+                row = np.zeros(nr)
+                row[j] = 1.0
+                extra_G.append(row)
+                extra_h.append(red.ub[j])
+            for j in lb_idx:
+                row = np.zeros(nr)
+                row[j] = -1.0
+                extra_G.append(row)
+                extra_h.append(-red.lb[j])
+            if extra_G:
+                G_r = (np.asarray(extra_G) if G_r is None
+                       else np.concatenate([G_r, np.asarray(extra_G)]))
+                h_r = (np.asarray(extra_h) if h_r is None
+                       else np.concatenate([h_r, np.asarray(extra_h)]))
+            c_in, A_in, b_in, G_in, h_in = red.c, red.A, red.b, G_r, h_r
+            posts[i] = red.post
         c_std, A_std, b_std, num_slack = forms.general_to_standard(
-            p["c"], A=p.get("A"), b=p.get("b"), G=p.get("G"), h=p.get("h"),
-            dtype=dtype,
+            c_in, A=A_in, b=b_in, G=G_in, h=h_in, dtype=dtype,
         )
-        n_orig = np.asarray(p["c"]).shape[0]
+        n_orig = np.asarray(c_in).shape[0]
         canon.append((c_std, A_std, b_std, n_orig))
+        canon_idx.append(i)
+
+    if not canon:  # every instance resolved by presolve
+        return [direct[i] for i in range(len(problems))]
 
     m_pad = max(A.shape[0] for _, A, _, _ in canon)
     n_pad = max(A.shape[1] for _, A, _, _ in canon) + m_pad
@@ -368,20 +431,22 @@ def solve_batch_general(
     x = np.asarray(res.x)
     status = np.asarray(res.status)
     iters = np.asarray(res.iters)
-    out = []
-    for i, (c_std, _, _, n_orig) in enumerate(canon):
-        xi = x[i, :n_orig]
-        out.append(
-            LinProgResult(
-                x=xi,
-                basis=None,
-                cost=float(np.asarray(problems[i]["c"], dtype=dtype) @ xi),
-                iters=int(iters[i]),
-                optimum=bool(status[i] == st.OPTIMAL),
-                status=int(status[i]),
-            )
+    solved = {}
+    for k, (c_std, _, _, n_orig) in enumerate(canon):
+        i = canon_idx[k]
+        xi = x[k, :n_orig]
+        if i in posts:  # scatter eliminated variables back
+            xi = posts[i].expand(xi)
+        solved[i] = LinProgResult(
+            x=xi,
+            basis=None,
+            cost=float(np.asarray(problems[i]["c"], np.float64) @ xi),
+            iters=int(iters[k]),
+            optimum=bool(status[k] == st.OPTIMAL),
+            status=int(status[k]),
         )
-    return out
+    return [direct[i] if i in direct else solved[i]
+            for i in range(len(problems))]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

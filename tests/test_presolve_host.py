@@ -116,3 +116,53 @@ def test_random_instances_presolve_equals_plain():
         assert ref.status == 0, trial
         assert res.optimum, trial
         assert res.cost == pytest.approx(ref.fun, rel=1e-5, abs=1e-6), trial
+
+
+def test_batch_general_with_presolve():
+    """solve_batch_general(presolve=True): reduced instances solve to the
+    same optima, presolve-resolved instances never reach the device."""
+    from linprog_tpu import status as stt
+    from linprog_tpu.batch import solve_batch_general
+
+    rng = np.random.default_rng(8)
+    problems = []
+    # 0: plain feasible instance
+    G = rng.standard_normal((5, 7))
+    x0 = rng.random(7)
+    problems.append({
+        "c": 0.2 + rng.random(7) - G.T @ rng.random(5),
+        "G": G, "h": G @ x0 + rng.random(5),
+    })
+    # 1: instance with structure (empty col 0 with c>0, singleton G row)
+    G2 = rng.standard_normal((4, 6))
+    G2[:, 0] = 0.0
+    G2[1, :] = 0.0
+    G2[1, 3] = 1.0
+    x0 = rng.random(6)
+    h2 = G2 @ x0 + rng.random(4)
+    c2 = 0.2 + rng.random(6) - G2.T @ rng.random(4)
+    c2[0] = abs(c2[0])
+    problems.append({"c": c2, "G": G2, "h": h2})
+    # 2: infeasible by contradictory equalities -> resolved at presolve
+    problems.append({
+        "c": np.ones(2),
+        "A": np.array([[1.0, 0.0], [1.0, 0.0]]),
+        "b": np.array([1.0, 2.0]),
+    })
+    # 3: fully determined by singleton equalities
+    problems.append({
+        "c": np.array([1.0, 2.0]),
+        "A": np.array([[2.0, 0.0], [0.0, 1.0]]),
+        "b": np.array([4.0, 3.0]),
+    })
+
+    plain = solve_batch_general(problems[:2], 400, 400)
+    pres = solve_batch_general(problems, 400, 400, presolve=True)
+    for i in range(2):
+        assert pres[i].optimum
+        assert pres[i].cost == pytest.approx(plain[i].cost, rel=1e-5,
+                                             abs=1e-5)
+        np.testing.assert_allclose(pres[i].x, plain[i].x, atol=1e-4)
+    assert pres[2].status == stt.PRIMAL_INFEASIBLE and not pres[2].optimum
+    assert pres[3].optimum and pres[3].iters == 0
+    np.testing.assert_allclose(pres[3].x, [2.0, 3.0])
