@@ -176,3 +176,24 @@ def test_packed_select_same_answers(stall):
     np.testing.assert_allclose(
         np.asarray(out.cost), np.asarray(ref.cost), rtol=2e-4, atol=2e-4
     )
+
+
+def test_packed_select_with_devex():
+    """devex pricing + packed_select: devex keeps its exact score argmax,
+    the ratio test packs -- same statuses/costs as unpacked devex."""
+    from linprog_tpu.batch import solve_batch_two_phase
+    from linprog_tpu.generators import (
+        random_inequality_lps,
+        to_standard_form_batch,
+    )
+
+    c, G, h = random_inequality_lps(6, 10, 14, seed=47)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    base = SolverConfig(pricing="devex", kernels="pallas", refactor_every=8)
+    ref = solve_batch_two_phase(cs, As, bs, 300, 300, base)
+    out = solve_batch_two_phase(cs, As, bs, 300, 300,
+                                base.replace(packed_select=True))
+    assert np.array_equal(np.asarray(ref.status), np.asarray(out.status))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
+                               rtol=2e-4, atol=2e-4)

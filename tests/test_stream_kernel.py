@@ -269,3 +269,27 @@ def test_blocked_factor_parity_vs_xla(pricing):
     np.testing.assert_allclose(
         np.asarray(out.bfs), np.asarray(ref.bfs), atol=2e-4, rtol=2e-4
     )
+
+
+def test_blocked_factor_with_packed_select():
+    """packed_select + blocked-factor mode together (the production
+    combination for m in (2048, 4096] under the bench config)."""
+    cs, As, bs, states, allowed = _setup(seed=13)
+    cfg = SolverConfig(pricing="dantzig", refactor_every=16,
+                       kernels="pallas")
+    ref = run_batched_stream(cs, As, bs, states, allowed, 200, cfg,
+                             variant="stream_blocked", n_blk=8)
+    states2 = jax.vmap(engine.make_state, in_axes=(0, 0, 0))(
+        As, bs, states.basis
+    )
+    out = run_batched_stream(cs, As, bs, states2, allowed, 200,
+                             cfg.replace(packed_select=True),
+                             variant="stream_blocked", n_blk=8)
+    assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert (np.asarray(out.status) == st.OPTIMAL).all()
+    cB_r = np.take_along_axis(np.asarray(cs), np.asarray(ref.basis), axis=1)
+    cB_o = np.take_along_axis(np.asarray(cs), np.asarray(out.basis), axis=1)
+    np.testing.assert_allclose(
+        (cB_o * np.asarray(out.bfs)).sum(axis=1),
+        (cB_r * np.asarray(ref.bfs)).sum(axis=1), rtol=2e-4, atol=2e-4,
+    )
