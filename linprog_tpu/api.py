@@ -412,6 +412,18 @@ class SimplexSolver:
             ub[shift_idx] = ub[shift_idx] - self._shift_lb
             lb[shift_idx] = 0.0
 
+        # original-row bookkeeping for dual mapping: general_to_standard
+        # stacks [A rows; G rows] and then sign-flips rows with negative
+        # rhs -- a flipped row's dual is the NEGATED standard-form dual
+        m_eq = 0 if (A is None or b is None) else np.atleast_1d(b).shape[0]
+        m_ineq = 0 if (G is None or h is None) else np.atleast_1d(h).shape[0]
+        self._m_user = m_eq + m_ineq
+        rhs_user = np.concatenate(
+            [np.atleast_1d(b) if m_eq else np.zeros(0),
+             np.atleast_1d(h) if m_ineq else np.zeros(0)]
+        )
+        self._row_flip = rhs_user < 0
+
         c_std, A_std, b_std, num_slack = forms.general_to_standard(
             c, A=A, b=b, G=G, h=h, dtype=dtype
         )
@@ -446,4 +458,15 @@ class SimplexSolver:
         res.x = self._reconstruct_x(res.x[: self.n_aug])
         res.cost = float(self._c_orig @ res.x)
         res.basis = None  # uninterpretable in the original variable space
+        # duals mapped back to the USER's constraint rows (eq rows first,
+        # then ineq rows): scatter over Phase-I-dropped redundant rows
+        # (their dual is 0), drop bound-row duals, un-flip sign-fixed rows
+        if res.y is not None:
+            y_full = np.zeros(A1.shape[0])
+            keep = np.setdiff1d(
+                np.arange(A1.shape[0]), np.asarray(p1.dropped_rows)
+            )
+            y_full[keep] = res.y
+            y_user = y_full[: self._m_user]
+            res.y = np.where(self._row_flip, -y_user, y_user)
         return res

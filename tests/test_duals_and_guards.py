@@ -75,3 +75,33 @@ def test_batched_singular_lane_freezes_not_poisons():
     status = np.asarray(res.status)
     assert status[0] == st.OPTIMAL  # healthy lane unaffected
     assert status[1] == st.NUMERICAL_ERROR
+
+
+def test_general_api_duals_match_highs_marginals():
+    """SimplexSolver duals come back in the USER's row space (eq rows then
+    ineq rows, sign-fix undone) and match HiGHS marginals."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+
+    rng = np.random.default_rng(13)
+    n, mA, mG = 8, 2, 5
+    G = rng.standard_normal((mG, n))
+    A = rng.standard_normal((mA, n))
+    x0 = rng.random(n)
+    b = A @ x0
+    b[0] = -b[0]  # force a sign-flip row
+    A[0] = -A[0]
+    h = G @ x0 + rng.random(mG)
+    c = 0.2 + rng.random(n) - G.T @ rng.random(mG)
+
+    from linprog_tpu import SimplexSolver
+
+    res = SimplexSolver(c, A=A, b=b, G=G, h=h).solve(400, 400)
+    assert res.optimum
+    ref = scipy_opt.linprog(c, A_eq=A, b_eq=b, A_ub=G, b_ub=h,
+                            bounds=(0, None), method="highs")
+    assert ref.status == 0
+    assert res.y.shape == (mA + mG,)
+    np.testing.assert_allclose(res.y[:mA], ref.eqlin.marginals,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(res.y[mA:], ref.ineqlin.marginals,
+                               rtol=1e-4, atol=1e-4)
