@@ -136,7 +136,13 @@ def pdhg_crossover_batch_canonical(c, G, h, pdhg_maxiters: int = 20_000,
     """
     from .pdhg import DEFAULT_PDHG_CONFIG, pdhg_solve_batch_canonical
 
-    pdhg_cfg = pdhg_cfg or DEFAULT_PDHG_CONFIG
+    # fixed-cadence restarts for the BATCHED first-order stage: vmap runs
+    # lanes in lockstep, and adaptive primal-weight adaptation measured a
+    # 4.2x straggler tail (max 17.7k vs 4.2k iters at B=1024, m=256 -->
+    # 4x wall); the crossover only needs an approximate support anyway
+    pdhg_cfg = pdhg_cfg or DEFAULT_PDHG_CONFIG.__class__(
+        eps_rel=DEFAULT_PDHG_CONFIG.eps_rel, adaptive=False
+    )
     x, cost, status, iters = pdhg_solve_batch_canonical(
         c, G, h, maxiters=pdhg_maxiters, cfg=pdhg_cfg
     )

@@ -133,3 +133,24 @@ def test_pdhg_checkpoint_roundtrip_and_exact_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(full.iters), np.asarray(resumed.iters)
     )
+
+
+def test_pdhg_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+
+    from linprog_tpu.checkpoint import load_state_orbax, save_state_orbax
+    from linprog_tpu.pdhg import DEFAULT_PDHG_CONFIG, _pdhg_core
+
+    c = jnp.asarray([-1.0, -2.0])
+    K = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+    q = jnp.asarray([4.0, 2.0])
+    init, run = _pdhg_core(c, K, q, 0, jnp.zeros(2), jnp.full(2, jnp.inf),
+                           DEFAULT_PDHG_CONFIG)
+    mid = run(init(), 128)
+    path = str(tmp_path / "pdhg_orbax")
+    save_state_orbax(path, mid)
+    restored = load_state_orbax(path, mid)
+    np.testing.assert_array_equal(np.asarray(mid.x), np.asarray(restored.x))
+    np.testing.assert_array_equal(np.asarray(mid.omega),
+                                  np.asarray(restored.omega))
