@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--maxiters", type=int, default=20000)
     ap.add_argument("--n-blk", type=int, default=256)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--seg", type=int, default=512)
     args = ap.parse_args()
     m = n = args.m
 
@@ -50,7 +51,7 @@ def main():
     cs, As, bs = gen(jax.random.PRNGKey(0))
     np.asarray(cs[0, :1])  # force
 
-    cfg = SolverConfig(pricing="dantzig", refactor_every=512,
+    cfg = SolverConfig(pricing="dantzig", refactor_every=args.seg,
                        kernels="pallas", polish_pivots=0,
                        packed_select=True)
     real_variant = engine_batched._stream_variant
