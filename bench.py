@@ -255,20 +255,12 @@ def main():
 
     _enable_compile_cache(jax)
 
-    from linprog_tpu.config import SolverConfig
+    from linprog_tpu.config import SolverConfig, tuned_config
 
-    # Tuned on v5e (2026-08, round 2).  unroll=4 cuts in-kernel
-    # per-iteration cost 22%; compact_refactor (default on) makes the
-    # between-segment inversion cost proportional to still-running lanes,
-    # moving the refactor_every knee 320 -> ~512 (536 LPs/s, plateau to
-    # 768); packed_select fuses the selection reductions (+9.7%, measured
-    # pivot counts identical).  m=256 history: 343 (seg=192) -> 388
-    # (seg=320) -> 473 (compact) -> 537 (seg=512) -> 589 (packed).
-    cfg = SolverConfig(
-        pricing="dantzig", refactor_every=512, kernels="pallas",
-        refactor_method="inv", polish_pivots=8, unroll=4,
-        packed_select=True,
-    )
+    # the measured-fastest configuration (see linprog_tpu.config.FAST_CONFIG;
+    # m=256 history: 343 -> 388 (seg=320+unroll) -> 473 (compact refactor)
+    # -> 537 (seg=512) -> 589 (packed selection))
+    cfg = tuned_config(args.m)
 
     head = run_size(jax, args.m, args.n, args.chunk, args.chunks,
                     args.maxiters, cfg, args.highs_samples)
@@ -293,7 +285,7 @@ def main():
                                   highs_samples=1, seg=1024))
         extras[f"m{m}"] = run_size(
             jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"],
-            cfg.replace(refactor_every=sc["seg"]), sc["highs_samples"],
+            tuned_config(m), sc["highs_samples"],
         )
     if args.sizes:
         # bounded solves take ~2000-2400 iterations at m=256 (bound flips

@@ -176,3 +176,36 @@ class SolverConfig:
 
 
 DEFAULT_CONFIG = SolverConfig()
+
+# The measured-fastest TPU configuration (v5e, 2026-08): Pallas
+# mega-kernels, dantzig pricing with stalled-lane Bland escalation,
+# compact refactorization every 512 pivots, 4-way inner-loop unrolling,
+# packed-key fused selection, and the double-word terminal polish.
+# DEFAULT_CONFIG keeps the reference-parity semantics (bland, XLA ops,
+# no refactorization) for oracle-exact pivot paths; use FAST_CONFIG (or
+# :func:`tuned_config`) for throughput.
+FAST_CONFIG = SolverConfig(
+    pricing="dantzig",
+    refactor_every=512,
+    kernels="pallas",
+    polish_pivots=8,
+    unroll=4,
+    packed_select=True,
+)
+
+# refactor_every knees measured per problem size on v5e (longer solves
+# want longer segments once compact refactorization makes the
+# between-segment inversion cost proportional to still-running lanes)
+_SEG_BY_M = ((384, 512), (768, 768), (1536, 1024), (1 << 62, 2048))
+
+
+def tuned_config(m: int, **overrides) -> SolverConfig:
+    """:data:`FAST_CONFIG` with the segment length tuned for size ``m``.
+
+    Measured knees (v5e): seg 512 up to m~=384, 768 to ~768, 1024 to
+    ~1536, 2048 beyond.  ``overrides`` are applied last.
+    """
+    for hi, seg in _SEG_BY_M:
+        if m <= hi:
+            return FAST_CONFIG.replace(refactor_every=seg, **overrides)
+    raise AssertionError("unreachable")

@@ -91,3 +91,17 @@ def test_pad_problem_preserves_solution_space():
     # padded rows are satisfied by zeros on the padding columns
     assert np.allclose(A2[1:, :2], 0)
     assert np.allclose(b2[1:], 0)
+
+
+def test_fast_and_tuned_configs():
+    from linprog_tpu.config import FAST_CONFIG, tuned_config
+
+    assert FAST_CONFIG.kernels == "pallas" and FAST_CONFIG.packed_select
+    assert tuned_config(256).refactor_every == 512
+    assert tuned_config(512).refactor_every == 768
+    assert tuned_config(1024).refactor_every == 1024
+    assert tuned_config(4096).refactor_every == 2048
+    # overrides win
+    assert tuned_config(256, polish_pivots=0).polish_pivots == 0
+    # usable as a static jit arg (hashable/frozen)
+    hash(tuned_config(256))
