@@ -274,15 +274,13 @@ def main():
     # between-segment inversion cheap); m=1024 is flat in chunk but +5%
     # at seg=1024
     size_cfg = {
-        512: dict(chunk=256, chunks=1, maxiters=4000, highs_samples=2,
-                  seg=768),
-        1024: dict(chunk=32, chunks=1, maxiters=6000, highs_samples=1,
-                   seg=1024),
+        512: dict(chunk=256, chunks=1, maxiters=4000, highs_samples=2),
+        1024: dict(chunk=32, chunks=1, maxiters=6000, highs_samples=1),
     }
     for tok in filter(None, args.sizes.split(",")):
         m = int(tok)
         sc = size_cfg.get(m, dict(chunk=32, chunks=1, maxiters=6000,
-                                  highs_samples=1, seg=1024))
+                                  highs_samples=1))
         extras[f"m{m}"] = run_size(
             jax, m, m, sc["chunk"], sc["chunks"], sc["maxiters"],
             tuned_config(m), sc["highs_samples"],

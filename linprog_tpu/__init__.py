@@ -36,7 +36,7 @@ from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
 from .presolve_host import presolve_problem, solve_with_presolve
 from .ranging import RangingResult, ranging, ranging_batch
-from .config import DEFAULT_CONFIG, SolverConfig
+from .config import DEFAULT_CONFIG, FAST_CONFIG, SolverConfig, tuned_config
 from .engine import SimplexState
 from .results import BatchResult, LinProgResult
 from .status import (
@@ -64,6 +64,8 @@ __all__ = [
     "SimplexSolver",
     "SolverConfig",
     "DEFAULT_CONFIG",
+    "FAST_CONFIG",
+    "tuned_config",
     "SimplexState",
     "LinProgResult",
     "BatchResult",
