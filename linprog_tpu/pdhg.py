@@ -119,6 +119,11 @@ class PDHGConfig:
     restart_beta: float = 0.4
     eps_infeas: float = 1e-6
     omega_clip: float = 64.0  # omega confined to [1/clip, clip]
+    # reset omega to 1 on a restart whose KKT score decayed by less than
+    # this factor since the previous restart (stalled lane: the movement
+    # ratio is noise and omega random-walks to the clip; see
+    # check_and_restart).  >= 1 disables the reset.
+    stall_reset_beta: float = 0.95
 
     @property
     def jnp_dtype(self):
@@ -327,6 +332,16 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
                 omega_prop, 1.0 / cfg.omega_clip, cfg.omega_clip
             )
             omega = jnp.where(do & both, omega_prop, state.omega)
+            # stall reset: a BACKSTOP restart whose KKT score barely moved
+            # since the previous restart means the adapted weight is
+            # hurting, not helping -- the movement ratio is then noise and
+            # the log-space update random-walks omega to the clip while
+            # the score stalls just above eps_rel (observed: 20x iteration
+            # tails on ~2% of batched lanes).  Reset to the balanced
+            # weight; a lane that genuinely needs omega far from 1 will
+            # re-adapt within a few restarts.
+            stalled = do & (s_cand > cfg.stall_reset_beta * state.last_score)
+            omega = jnp.where(stalled, jnp.ones_like(omega), omega)
         else:
             omega = state.omega
 

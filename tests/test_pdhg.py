@@ -210,3 +210,25 @@ def test_batched_sparse_matches_dense_batch():
     cost_d = np.einsum("bn,bn->b", c, np.asarray(dense.x))
     cost_s = np.einsum("bn,bn->b", c, np.asarray(sparse.x))
     np.testing.assert_allclose(cost_s, cost_d, rtol=1e-4, atol=1e-4)
+
+
+def test_adaptive_restart_tail_is_bounded():
+    """Stall-reset regression: adaptive primal-weight adaptation used to
+    random-walk omega to the clip on ~2% of batched lanes (20x iteration
+    tails, lockstep vmap pays the max). With the reset, the tail stays
+    within a small factor of the median and every lane converges."""
+    import jax.numpy as jnp
+
+    from linprog_tpu.pdhg import pdhg_solve_batch_canonical
+
+    B, m, n = 64, 48, 48
+    c, G, h = random_inequality_lps(B, m, n, seed=0)
+    cfg = PDHGConfig(eps_rel=1e-4, adaptive=True, dtype="float32")
+    x, cost, status, iters = pdhg_solve_batch_canonical(
+        jnp.asarray(np.asarray(c, np.float32)),
+        jnp.asarray(np.asarray(G, np.float32)),
+        jnp.asarray(np.asarray(h, np.float32)),
+        maxiters=40_000, cfg=cfg)
+    it = np.asarray(iters)
+    assert (np.asarray(status) == st.OPTIMAL).all()
+    assert it.max() < 6 * np.median(it), (int(it.max()), int(np.median(it)))
