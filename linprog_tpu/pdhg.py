@@ -124,6 +124,13 @@ class PDHGConfig:
     # ratio is noise and omega random-walks to the clip; see
     # check_and_restart).  >= 1 disables the reset.
     stall_reset_beta: float = 0.95
+    # Reflected Halpern acceleration (cuPDLPx / rHPDHG):
+    #   z_{k+1} = (k+1)/(k+2) * (2 T(z_k) - z_k) + 1/(k+2) * z_anchor
+    # with the anchor reset at restarts, replacing average-iterate
+    # restarts.  Accelerates the last iterate; termination/restart
+    # candidates are evaluated at T(z) (the PDHG-step image), which is
+    # also what solve() reports.
+    halpern: bool = False
 
     @property
     def jnp_dtype(self):
@@ -207,12 +214,26 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
     def project_y(y):
         return jnp.where(is_ineq, jnp.maximum(y, 0.0), y)
 
-    def step(state: PDHGState) -> PDHGState:
-        x, y = state.x, state.y
-        tau = state.omega / norm_K
-        sigma = 1.0 / (state.omega * norm_K)
+    def apply_T(x, y, omega):
+        """One PDHG operator application (Chambolle-Pock with
+        extrapolation)."""
+        tau = omega / norm_K
+        sigma = 1.0 / (omega * norm_K)
         x_new = project_x(x - tau * (c + _mv(K.T, y)))
         y_new = project_y(y + sigma * (_mv(K, 2.0 * x_new - x) - q))
+        return x_new, y_new
+
+    def step(state: PDHGState) -> PDHGState:
+        x, y = state.x, state.y
+        xT, yT = apply_T(x, y, state.omega)
+        if cfg.halpern:
+            # reflected Halpern: anchor pull with weight 1/(k+2)
+            k = state.inner_count.astype(x.dtype)
+            lam = (k + 1.0) / (k + 2.0)
+            x_new = lam * (2.0 * xT - x) + (1.0 - lam) * state.x_anchor
+            y_new = lam * (2.0 * yT - y) + (1.0 - lam) * state.y_anchor
+        else:
+            x_new, y_new = xT, yT
         return state._replace(
             x=x_new,
             y=y_new,
@@ -276,9 +297,17 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
 
     def check_and_restart(state: PDHGState) -> PDHGState:
         cnt = jnp.maximum(state.inner_count, 1)
-        x_avg = state.x_sum / cnt
-        y_avg = state.y_sum / cnt
-        pr_c, du_c, gap_c, s_cur = kkt_score(state.x, state.y)
+        if cfg.halpern:
+            # candidates live at T(z): z converges to a fixed point of T,
+            # and T(z) is feasible w.r.t. the box/cone projections (the
+            # raw Halpern iterate need not be)
+            x_cur, y_cur = apply_T(state.x, state.y, state.omega)
+            x_avg, y_avg = x_cur, y_cur
+        else:
+            x_cur, y_cur = state.x, state.y
+            x_avg = state.x_sum / cnt
+            y_avg = state.y_sum / cnt
+        pr_c, du_c, gap_c, s_cur = kkt_score(x_cur, y_cur)
         pr_a, du_a, gap_a, s_avg = kkt_score(x_avg, y_avg)
 
         # terminate on whichever iterate satisfies the tolerance
@@ -316,8 +345,13 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
         else:
             do = state.inner_count >= cfg.restart_every
         do = do & running & ~ok
-        x_new = jnp.where(do & avg_better, x_avg, state.x)
-        y_new = jnp.where(do & avg_better, y_avg, state.y)
+        if cfg.halpern:
+            # a Halpern restart re-anchors at the PDHG-step image T(z)
+            x_new = jnp.where(do, x_cur, state.x)
+            y_new = jnp.where(do, y_cur, state.y)
+        else:
+            x_new = jnp.where(do & avg_better, x_avg, state.x)
+            y_new = jnp.where(do & avg_better, y_avg, state.y)
 
         # ---- primal weight adaptation (PDLP: log-space smoothing) --------
         if cfg.adaptive:
@@ -347,8 +381,12 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
 
         zx = jnp.zeros_like(state.x_sum)
         zy = jnp.zeros_like(state.y_sum)
-        final_x = jnp.where(adopt_avg_final, x_avg, x_new)
-        final_y = jnp.where(adopt_avg_final, y_avg, y_new)
+        if cfg.halpern:  # report the feasible T(z) image on termination
+            final_x = jnp.where(ok, x_cur, x_new)
+            final_y = jnp.where(ok, y_cur, y_new)
+        else:
+            final_x = jnp.where(adopt_avg_final, x_avg, x_new)
+            final_y = jnp.where(adopt_avg_final, y_avg, y_new)
         return state._replace(
             x=final_x,
             y=final_y,

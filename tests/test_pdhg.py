@@ -232,3 +232,46 @@ def test_adaptive_restart_tail_is_bounded():
     it = np.asarray(iters)
     assert (np.asarray(status) == st.OPTIMAL).all()
     assert it.max() < 6 * np.median(it), (int(it.max()), int(np.median(it)))
+
+
+def test_halpern_matches_highs_and_accelerates():
+    """Reflected Halpern acceleration: same optima as the baseline scheme
+    (HiGHS-checked) with fewer iterations on a small batch."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    import jax.numpy as jnp
+
+    from linprog_tpu.pdhg import pdhg_solve_batch_canonical
+
+    B, m, n = 16, 24, 32
+    c, G, h = random_inequality_lps(B, m, n, seed=3)
+    base = PDHGConfig(eps_rel=1e-5, dtype="float32")
+    ref = pdhg_solve_batch_canonical(
+        jnp.asarray(np.float32(c)), jnp.asarray(np.float32(G)),
+        jnp.asarray(np.float32(h)), maxiters=100_000, cfg=base)
+    hal = pdhg_solve_batch_canonical(
+        jnp.asarray(np.float32(c)), jnp.asarray(np.float32(G)),
+        jnp.asarray(np.float32(h)), maxiters=100_000,
+        cfg=PDHGConfig(eps_rel=1e-5, dtype="float32", halpern=True))
+    for out in (ref, hal):
+        assert (np.asarray(out[2]) == st.OPTIMAL).all()
+    for i in range(4):
+        r = scipy_opt.linprog(c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None),
+                              method="highs")
+        assert r.status == 0
+        assert abs(float(np.asarray(hal[1])[i]) - r.fun) / max(
+            1.0, abs(r.fun)) < 1e-3, i
+    # acceleration: fewer total iterations than average-restart
+    assert np.asarray(hal[3]).sum() < 0.9 * np.asarray(ref[3]).sum()
+
+
+def test_halpern_certificates():
+    cfg = PDHGConfig(eps_rel=1e-6, maxiters=40000, halpern=True)
+    res = PDHGSolver(np.array([1.0, 1.0]),
+                     A=np.array([[1.0, 1.0]]), b=np.array([2.0]),
+                     G=np.array([[1.0, 1.0]]), h=np.array([1.0]),
+                     config=cfg).solve()
+    assert res.status == st.PRIMAL_INFEASIBLE
+    res = PDHGSolver(np.array([-1.0, 0.0]),
+                     G=np.array([[1.0, -1.0]]), h=np.array([1.0]),
+                     config=cfg).solve()
+    assert res.status == st.PRIMAL_UNBOUNDED
