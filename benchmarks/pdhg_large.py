@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--highs-max", type=int, default=1024,
                     help="largest size to cross-check against HiGHS")
     ap.add_argument("--eps", type=float, default=1e-4)
+    ap.add_argument("--halpern", action="store_true",
+                    help="reflected Halpern acceleration (-30% iters)")
     args = ap.parse_args()
 
     import jax
@@ -46,8 +48,9 @@ def main():
     for n in args.sizes:
         c, G, h = build_instance(n, seed=0)
         cfg = PDHGConfig(eps_rel=args.eps, maxiters=200_000, check_every=100,
-                         restart_every=1000)
+                         restart_every=1000, halpern=args.halpern)
         solver = PDHGSolver(c=c, G=G, h=h, config=cfg)
+        res = solver.solve()  # compile + warm
         t0 = time.time()
         res = solver.solve()
         wall = time.time() - t0
@@ -55,7 +58,7 @@ def main():
         line = (
             f"n={n}: {'OPTIMAL' if res.optimum else res.status_name} "
             f"in {res.iters} iters, {wall:.2f}s "
-            f"(first call includes compile), cost={res.cost:.4f}"
+            f"(warm), cost={res.cost:.4f}"
         )
         if n <= args.highs_max:
             try:
