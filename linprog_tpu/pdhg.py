@@ -131,6 +131,13 @@ class PDHGConfig:
     # candidates are evaluated at T(z) (the PDHG-step image), which is
     # also what solve() reports.
     halpern: bool = False
+    # iteration budget for the accelerated phase: a lane still running
+    # after this many iterations reverts permanently to averaged
+    # restarts (the Halpern last iterate can circle the f32 KKT noise
+    # floor with oscillating scores the stall detector cannot catch;
+    # measured ~0.4% of f32 batched lanes at m=256).  Single instances
+    # terminate far below this.
+    halpern_patience: int = 10_000
 
     @property
     def jnp_dtype(self):
@@ -152,6 +159,9 @@ class PDHGState(NamedTuple):
     x_anchor: jax.Array  # [n] iterate at last restart (epoch movement /
     y_anchor: jax.Array  # [m]  certificate direction / omega adaptation)
     last_score: jax.Array  # [] KKT score at last restart
+    halpern_off: jax.Array  # [] bool: lane reverted to averaged restarts
+    # (per-lane safety net: Halpern's last iterate can stall at the f32
+    # KKT noise floor; a no-progress restart flips the lane back)
 
 
 def _estimate_norm(K, iters: int, seed: int = 0):
@@ -205,6 +215,15 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
     is_ineq = (jnp.arange(m) >= n_eq)
     norm_K = _estimate_norm(K, cfg.power_iters)
     norm_K = jnp.maximum(norm_K, 1e-12)
+    if cfg.halpern:
+        # the reflected operator 2T - I COMPOUNDS any slight
+        # expansiveness of T: when the power iteration underestimates
+        # ||K|| (tau sigma ||K||^2 marginally > 1), plain PDHG still
+        # limps along but the Halpern reflection diverges geometrically
+        # (observed: KKT score 5e12 within 512 iterations on ~0.4% of
+        # lanes, after which the f32 iterate freezes by absorption).
+        # A 5% step-size safety margin covers the estimator error.
+        norm_K = norm_K * 1.05
     finite_lb = jnp.isfinite(lb)
     finite_ub = jnp.isfinite(ub)
 
@@ -227,11 +246,14 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
         x, y = state.x, state.y
         xT, yT = apply_T(x, y, state.omega)
         if cfg.halpern:
-            # reflected Halpern: anchor pull with weight 1/(k+2)
+            # reflected Halpern: anchor pull with weight 1/(k+2);
+            # reverted lanes (halpern_off) run the plain PDHG step
             k = state.inner_count.astype(x.dtype)
             lam = (k + 1.0) / (k + 2.0)
-            x_new = lam * (2.0 * xT - x) + (1.0 - lam) * state.x_anchor
-            y_new = lam * (2.0 * yT - y) + (1.0 - lam) * state.y_anchor
+            x_h = lam * (2.0 * xT - x) + (1.0 - lam) * state.x_anchor
+            y_h = lam * (2.0 * yT - y) + (1.0 - lam) * state.y_anchor
+            x_new = jnp.where(state.halpern_off, xT, x_h)
+            y_new = jnp.where(state.halpern_off, yT, y_h)
         else:
             x_new, y_new = xT, yT
         return state._replace(
@@ -300,9 +322,12 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
         if cfg.halpern:
             # candidates live at T(z): z converges to a fixed point of T,
             # and T(z) is feasible w.r.t. the box/cone projections (the
-            # raw Halpern iterate need not be)
+            # raw Halpern iterate need not be).  Reverted lanes keep the
+            # averaged candidate (the sums accumulate either way).
             x_cur, y_cur = apply_T(state.x, state.y, state.omega)
-            x_avg, y_avg = x_cur, y_cur
+            off = state.halpern_off
+            x_avg = jnp.where(off, state.x_sum / cnt, x_cur)
+            y_avg = jnp.where(off, state.y_sum / cnt, y_cur)
         else:
             x_cur, y_cur = state.x, state.y
             x_avg = state.x_sum / cnt
@@ -346,9 +371,23 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
             do = state.inner_count >= cfg.restart_every
         do = do & running & ~ok
         if cfg.halpern:
-            # a Halpern restart re-anchors at the PDHG-step image T(z)
-            x_new = jnp.where(do, x_cur, state.x)
-            y_new = jnp.where(do, y_cur, state.y)
+            # a Halpern restart re-anchors at the PDHG-step image T(z);
+            # reverted lanes follow the averaged-restart adoption rule
+            restart_x = jnp.where(
+                off, jnp.where(avg_better, x_avg, state.x), x_cur
+            )
+            restart_y = jnp.where(
+                off, jnp.where(avg_better, y_avg, state.y), y_cur
+            )
+            x_new = jnp.where(do, restart_x, state.x)
+            y_new = jnp.where(do, restart_y, state.y)
+            # safety nets: a no-progress restart, or exhausting the
+            # accelerated-phase iteration budget (scores can oscillate
+            # around the f32 noise floor without ever "stalling"),
+            # reverts the lane to averaged restarts permanently
+            off = off | (do & (s_cand > cfg.stall_reset_beta
+                               * state.last_score))
+            off = off | (running & (state.iters >= cfg.halpern_patience))
         else:
             x_new = jnp.where(do & avg_better, x_avg, state.x)
             y_new = jnp.where(do & avg_better, y_avg, state.y)
@@ -398,6 +437,7 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
             x_anchor=jnp.where(do, final_x, state.x_anchor),
             y_anchor=jnp.where(do, final_y, state.y_anchor),
             last_score=jnp.where(do, s_cand, state.last_score),
+            halpern_off=(off if cfg.halpern else state.halpern_off),
         )
 
     def init_state() -> PDHGState:
@@ -414,6 +454,7 @@ def _pdhg_core(c, K, q, n_eq, lb, ub, cfg: PDHGConfig):
             x_anchor=x0,
             y_anchor=jnp.zeros(m, K.dtype),
             last_score=jnp.asarray(jnp.inf, K.dtype),
+            halpern_off=jnp.zeros((), jnp.bool_),
         )
 
     def run(state: PDHGState, maxiters) -> PDHGState:
