@@ -70,3 +70,24 @@ def sharded_two_phase_solve(
     return solve_batch_two_phase(
         c, A, b, maxiters1=maxiters1, maxiters2=maxiters2, cfg=cfg
     )
+
+
+def sharded_pdhg_batch_canonical(mesh: Mesh, c, G, h,
+                                 maxiters: int = 100_000, cfg=None):
+    """Batched first-order solve with the batch dim sharded over ``mesh``.
+
+    The PDHG counterpart of :func:`sharded_two_phase_solve`: lanes are
+    independent (matvecs + projections per lane), so the iteration is
+    pure per-device compute; only result gathers touch ICI.  Returns
+    ``(x, cost, status, iters)`` in the original scaling
+    (:func:`linprog_tpu.pdhg.pdhg_solve_batch_canonical`).
+    """
+    from ..pdhg import DEFAULT_PDHG_CONFIG, pdhg_solve_batch_canonical
+
+    cfg = cfg or DEFAULT_PDHG_CONFIG
+    B = c.shape[0]
+    n_dev = mesh.devices.size
+    if B % n_dev != 0:
+        raise ValueError(f"batch size {B} not divisible by mesh size {n_dev}")
+    c, G, h = shard_batch(mesh, c, G, h)
+    return pdhg_solve_batch_canonical(c, G, h, maxiters=maxiters, cfg=cfg)

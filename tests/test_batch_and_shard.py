@@ -117,3 +117,28 @@ def test_sharded_batch_must_divide_mesh():
     b = jnp.zeros((6, 1))
     with pytest.raises(ValueError):
         sharded_two_phase_solve(mesh, c, A, b)
+
+
+def test_sharded_pdhg_matches_unsharded():
+    """Sharded batched PDHG: same results as the unsharded call (lanes are
+    independent; the mesh only changes placement)."""
+    import numpy as np
+
+    from linprog_tpu.parallel import (
+        make_batch_mesh,
+        sharded_pdhg_batch_canonical,
+    )
+    from linprog_tpu.pdhg import PDHGConfig, pdhg_solve_batch_canonical
+
+    B, m, n = 16, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=6)
+    cfg = PDHGConfig(eps_rel=1e-5, dtype="float32")
+    cj, Gj, hj = jnp.asarray(np.float32(c)), jnp.asarray(np.float32(G)), \
+        jnp.asarray(np.float32(h))
+    ref = pdhg_solve_batch_canonical(cj, Gj, hj, maxiters=50_000, cfg=cfg)
+    mesh = make_batch_mesh()
+    out = sharded_pdhg_batch_canonical(mesh, cj, Gj, hj, maxiters=50_000,
+                                       cfg=cfg)
+    assert np.array_equal(np.asarray(ref[2]), np.asarray(out[2]))  # status
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-5)  # costs
