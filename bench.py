@@ -230,6 +230,36 @@ def run_warm_start(jax, m, n, chunk, maxiters, cfg):
     }
 
 
+def run_pdhg_batch(jax, m, n, chunk):
+    """First-order family datapoint: batched PDHG at eps 1e-4.
+
+    Fixed-cadence restarts (measured fastest for lockstep batches; the
+    adaptive/Halpern variants trade ~20% throughput for certificates /
+    fewer iterations -- see docs/DESIGN.md)."""
+    from linprog_tpu import status as stt
+    from linprog_tpu.generators import device_inequality_lps
+    from linprog_tpu.pdhg import PDHGConfig, pdhg_solve_batch_canonical
+
+    c, G, h = device_inequality_lps(jax.random.PRNGKey(0), chunk, m, n)
+    cfg = PDHGConfig(eps_rel=1e-4, adaptive=False)
+    x, cost, status, iters = pdhg_solve_batch_canonical(
+        c, G, h, maxiters=60_000, cfg=cfg)
+    np.asarray(cost)
+    t0 = time.time()
+    x, cost, status, iters = pdhg_solve_batch_canonical(
+        c, G, h, maxiters=60_000, cfg=cfg)
+    ns = int((np.asarray(status) == stt.OPTIMAL).sum())
+    wall = time.time() - t0
+    return {
+        "lps_per_sec": round(chunk / wall, 2),
+        "wall_sec": round(wall, 3),
+        "optimal": ns,
+        "lanes": chunk,
+        "median_iters": int(np.median(np.asarray(iters))),
+        "eps_rel": 1e-4,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
@@ -299,6 +329,7 @@ def main():
         extras["warm_rhs_m256"] = run_warm_start(
             jax, 256, 256, 1024, args.maxiters, cfg,
         )
+        extras["pdhg_m256"] = run_pdhg_batch(jax, 256, 256, 1024)
 
     out = {
         "metric": f"batched_lps_per_sec_m{args.m}_n{args.n}",
