@@ -32,6 +32,12 @@ from .crossover import (
     crossover_batch_canonical,
     pdhg_crossover_batch_canonical,
 )
+from .ipm import (
+    IPMConfig,
+    IPMSolver,
+    ipm_solve_batch_canonical,
+    ipm_solve_batch_standard,
+)
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
 from .presolve_host import presolve_problem, solve_with_presolve
@@ -61,6 +67,10 @@ __all__ = [
     "PrimalDualAlgorithm",
     "PDHGSolver",
     "PDHGConfig",
+    "IPMSolver",
+    "IPMConfig",
+    "ipm_solve_batch_standard",
+    "ipm_solve_batch_canonical",
     "SimplexSolver",
     "SolverConfig",
     "DEFAULT_CONFIG",

@@ -1,0 +1,439 @@
+"""Interior-point method (Mehrotra predictor-corrector) -- third solver family.
+
+The reference covers the two classic exact regimes: simplex (its
+``linprog/primal_solvers.py`` / ``dual_solvers.py`` families) and the
+combinatorial primal-dual algorithm (``linprog/primal_dual.py``).  This
+module adds the third classical regime -- a path-following interior-point
+method -- built TPU-first:
+
+* every iteration is two batched matmuls (``A diag(d) A'``) plus a batched
+  Cholesky factorization and four triangular solves: pure MXU work with
+  static shapes, no data-dependent control flow;
+* the whole batch runs in ONE ``lax.while_loop`` -- no vmap-of-scalar-loops,
+  so lanes share compiled code and the matmuls keep their full ``[B, m, n]``
+  tiling;
+* iteration counts are tiny (tens, vs hundreds/thousands of simplex pivots
+  or 1e4+ PDHG steps) and *independent of problem size* -- IPM is the right
+  family when ``m`` is large enough that per-pivot O(m^2) eta updates lose
+  to O(m^3 / 30) one-shot factorizations.
+
+Algorithm: standard Mehrotra predictor-corrector on
+
+    min c'x   s.t.  A x = b,  x >= 0          (primal)
+    max b'y   s.t.  A'y + s = c,  s >= 0      (dual)
+
+Newton systems are reduced to the normal equations ``A D A' dy = r`` with
+``D = diag(x/s)``, factorized once per iteration (batched Cholesky) and
+reused for the predictor and corrector solves.  Step lengths use the
+fraction-to-boundary rule; termination is on relative primal/dual residuals
+and duality gap.  See Nocedal & Wright ch. 14 / Mehrotra (1992).
+
+Unlike the simplex family this path does not emit Farkas certificates --
+infeasible/unbounded instances terminate at ``ITER_LIMIT`` (the iterates
+diverge); route such instances through the simplex or PDHG paths for
+certificates.  Pair with :mod:`linprog_tpu.crossover` to snap the interior
+optimum to an exact vertex with a basis certificate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import status as st
+from .results import BatchResult, LinProgResult
+
+# Same measured v5e rule as everywhere else in the package: default-f32
+# matmuls take bf16 MXU passes and the Newton directions lose ~8 bits --
+# the central path then stalls above eps_rel.  Force full precision.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMConfig:
+    """Static (hashable) IPM configuration -- a jit static argument."""
+
+    # f32 normal equations carry a ~sqrt(eps_f32) KKT floor (measured
+    # ~6e-4 worst-lane on random dense LPs); the default tolerance sits
+    # just above it.  On the f64 CPU path 1e-7 converges in 6-8 iterations.
+    # For exact vertices/objectives, chain linprog_tpu.crossover.
+    eps_rel: float = 1e-3
+    maxiters: int = 80
+    # fraction-to-boundary damping on the primal/dual step lengths
+    frac: float = 0.995
+    # Tikhonov regularization of the normal matrix, scaled by its mean
+    # diagonal (the Cholesky needs this once complementarity spreads d).
+    # None -> dtype-resolved default: 1e-12 in f64, 1e-7 in f32 (measured:
+    # 1e-9 in f64 perturbs the Newton direction enough to stall the KKT
+    # score at ~1e-7 on lanes whose d spread inflates the mean diagonal)
+    reg: Optional[float] = None
+    dtype: str = "float32"
+
+
+DEFAULT_IPM_CONFIG = IPMConfig()
+
+
+class IPMState(NamedTuple):
+    """Batched primal-dual iterate: ``x[B,n] > 0``, ``y[B,m]``, ``s[B,n] > 0``."""
+
+    x: jax.Array
+    y: jax.Array
+    s: jax.Array
+    iters: jax.Array  # [B] i32
+    status: jax.Array  # [B] i32
+
+
+def _mv(A, v):
+    """Batched matvec ``A @ v``: ``[B,m,n] x [B,n] -> [B,m]``."""
+    return jnp.einsum("bij,bj->bi", A, v, precision=_HIGHEST)
+
+
+def _mtv(A, v):
+    """Batched transposed matvec ``A' @ v``: ``[B,m,n] x [B,m] -> [B,n]``."""
+    return jnp.einsum("bij,bi->bj", A, v, precision=_HIGHEST)
+
+
+def _chol_solve(L, r):
+    """Solve ``(L L') w = r`` for batched lower-triangular ``L[B,m,m]``."""
+    z = lax.linalg.triangular_solve(
+        L, r[..., None], left_side=True, lower=True, transpose_a=False
+    )
+    w = lax.linalg.triangular_solve(
+        L, z, left_side=True, lower=True, transpose_a=True
+    )
+    return w[..., 0]
+
+
+def _normal_factor(A, d, reg):
+    """Cholesky factor of ``A diag(d) A' + reg*mean(diag)*I`` (batched)."""
+    AD = A * d[:, None, :]
+    M = jnp.matmul(AD, jnp.swapaxes(A, 1, 2), precision=_HIGHEST)
+    m = M.shape[-1]
+    diag_mean = jnp.trace(M, axis1=1, axis2=2) / m  # [B]
+    eye = jnp.eye(m, dtype=M.dtype)
+    M = M + (reg * (1.0 + diag_mean))[:, None, None] * eye
+    return jnp.linalg.cholesky(M)
+
+
+def _step_to_boundary(v, dv):
+    """Largest ``a in [0,1]`` with ``v + a*dv >= 0`` per lane (``v > 0``)."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.clip(jnp.min(ratio, axis=1), 0.0, 1.0)
+
+
+def _starting_point(c, A, b, reg):
+    """Mehrotra's least-squares starting point, batched.
+
+    ``x = A'(AA')^{-1} b`` (min-norm primal), ``y = (AA')^{-1} A c``
+    (least-squares dual), shifted into the strict interior.
+    """
+    L = _normal_factor(A, jnp.ones((A.shape[0], A.shape[2]), A.dtype), reg)
+    x = _mtv(A, _chol_solve(L, b))
+    y = _chol_solve(L, _mv(A, c))
+    s = c - _mtv(A, y)
+    # shift into the positive orthant
+    dx = jnp.maximum(-1.5 * jnp.min(x, axis=1), 0.0)[:, None]
+    ds = jnp.maximum(-1.5 * jnp.min(s, axis=1), 0.0)[:, None]
+    x = x + dx
+    s = s + ds
+    # balance the pairing so mu starts O(1); guard all-zero degenerate lanes
+    xs = jnp.sum(x * s, axis=1)
+    sum_s = jnp.maximum(jnp.sum(s, axis=1), 1e-12)
+    sum_x = jnp.maximum(jnp.sum(x, axis=1), 1e-12)
+    x = x + (0.5 * xs / sum_s)[:, None]
+    s = s + (0.5 * xs / sum_x)[:, None]
+    x = jnp.maximum(x, 1e-2)
+    s = jnp.maximum(s, 1e-2)
+    return x, y, s
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
+    """Batched Mehrotra predictor-corrector on standard-form LPs.
+
+    ``c[B,n], A[B,m,n], b[B,m]`` (no ``b >= 0`` requirement -- unlike the
+    simplex path, the IPM never flips row signs, so returned duals live in
+    the caller's row space directly).  Returns the terminal
+    :class:`IPMState`; wrap with :func:`ipm_state_to_result`.
+    """
+    B, m, n = A.shape
+    dt = jnp.dtype(cfg.dtype)
+    c = c.astype(dt)
+    A = A.astype(dt)
+    b = b.astype(dt)
+    eps = cfg.eps_rel
+    reg = cfg.reg if cfg.reg is not None else (
+        1e-12 if dt == jnp.float64 else 1e-7
+    )
+
+    x0, y0, s0 = _starting_point(c, A, b, reg)
+    norm_b = 1.0 + jnp.linalg.norm(b, axis=1)
+    norm_c = 1.0 + jnp.linalg.norm(c, axis=1)
+    state0 = IPMState(
+        x=x0, y=y0, s=s0,
+        iters=jnp.zeros((B,), jnp.int32),
+        status=jnp.zeros((B,), jnp.int32),  # RUNNING
+    )
+
+    def _criterion(xx, yy, ss):
+        """Per-lane KKT score: max of relative primal/dual residual and gap."""
+        rb = _mv(A, xx) - b
+        rc = _mtv(A, yy) + ss - c
+        pobj = jnp.sum(c * xx, axis=1)
+        dobj = jnp.sum(b * yy, axis=1)
+        rb_rel = jnp.linalg.norm(rb, axis=1) / norm_b
+        rc_rel = jnp.linalg.norm(rc, axis=1) / norm_c
+        gap_rel = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
+        crit = jnp.maximum(jnp.maximum(rb_rel, rc_rel), gap_rel)
+        return jnp.where(jnp.isfinite(crit), crit, jnp.inf)
+
+    crit0 = _criterion(x0, y0, s0)
+
+    def cond(carry):
+        state, *_rest, it = carry
+        return (it < cfg.maxiters) & jnp.any(state.status == st.RUNNING)
+
+    def body(carry):
+        state, bx, by, bs, bcrit, it = carry
+        x, y, s = state.x, state.y, state.s
+        running = state.status == st.RUNNING
+
+        # grade the current iterate; remember the best seen per lane.  Once
+        # complementarity bottoms out (mu ~ eps_mach) the normal matrix
+        # conditioning explodes and further steps DIVERGE (measured: rb
+        # 5e-8 -> 4e-2 in five iterations at mu=1e-16) -- the best-iterate
+        # backstop makes the terminal answer monotone in quality anyway.
+        crit = _criterion(x, y, s)
+        better = running & (crit < bcrit)
+        bx = jnp.where(better[:, None], x, bx)
+        by = jnp.where(better[:, None], y, by)
+        bs = jnp.where(better[:, None], s, bs)
+        bcrit = jnp.where(better, crit, bcrit)
+
+        status = jnp.where(running & (crit <= eps), st.OPTIMAL, state.status)
+        running = status == st.RUNNING
+        # freeze lanes past the productive regime: complementarity exhausted
+        # or the iterate blew up 100x past its best (grade `best` at the end)
+        mu_lane = jnp.sum(x * s, axis=1) / n
+        mu_rel = mu_lane / (1.0 + jnp.abs(jnp.sum(c * x, axis=1)))
+        spent = (mu_rel < 1e-6 * eps) | (crit > 100.0 * bcrit)
+        status = jnp.where(running & spent, st.ITER_LIMIT, status)
+        running = status == st.RUNNING
+
+        # ---- Newton machinery (shared factorization) ---------------------
+        s_safe = jnp.maximum(s, 1e-30)
+        d = x / s_safe
+        L = _normal_factor(A, d, reg)
+        rb = _mv(A, x) - b
+        rc = _mtv(A, y) + s - c
+        mu = jnp.sum(x * s, axis=1) / n  # [B]
+
+        def _direction(rxs):
+            # A D A' dy = -rb + A (rxs/s - d*rc);  ds = -rc - A'dy;
+            # dx = -rxs/s - d*ds  (elimination of the 3x3 KKT system)
+            rhs = -rb + _mv(A, rxs / s_safe - d * rc)
+            dy = _chol_solve(L, rhs)
+            ds = -rc - _mtv(A, dy)
+            dx = -rxs / s_safe - d * ds
+            return dx, dy, ds
+
+        # ---- predictor (affine scaling) ----------------------------------
+        dx_a, dy_a, ds_a = _direction(x * s)
+        ap_a = _step_to_boundary(x, dx_a)
+        ad_a = _step_to_boundary(s, ds_a)
+        mu_aff = jnp.sum(
+            (x + ap_a[:, None] * dx_a) * (s + ad_a[:, None] * ds_a), axis=1
+        ) / n
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # ---- corrector (centering + Mehrotra second-order term) ----------
+        rxs = x * s + dx_a * ds_a - (sigma * mu)[:, None]
+        dx, dy, ds = _direction(rxs)
+        ap = cfg.frac * _step_to_boundary(x, dx)
+        ad = cfg.frac * _step_to_boundary(s, ds)
+
+        x_new = x + ap[:, None] * dx
+        y_new = y + ad[:, None] * dy
+        s_new = s + ad[:, None] * ds
+
+        finite = (
+            jnp.all(jnp.isfinite(x_new), axis=1)
+            & jnp.all(jnp.isfinite(y_new), axis=1)
+            & jnp.all(jnp.isfinite(s_new), axis=1)
+        )
+        status = jnp.where(running & ~finite, st.NUMERICAL_ERROR, status)
+        step = running & finite
+
+        new_state = IPMState(
+            x=jnp.where(step[:, None], x_new, x),
+            y=jnp.where(step[:, None], y_new, y),
+            s=jnp.where(step[:, None], s_new, s),
+            iters=jnp.where(step, state.iters + 1, state.iters),
+            status=status,
+        )
+        return new_state, bx, by, bs, bcrit, it + 1
+
+    state, bx, by, bs, bcrit, _ = lax.while_loop(
+        cond, body, (state0, x0, y0, s0, crit0, jnp.zeros((), jnp.int32))
+    )
+
+    # terminal grading: take the best iterate seen per lane (the loop tests
+    # at the TOP of each iteration, so the last step and any post-breakdown
+    # wandering are graded here), then close out still-running lanes
+    crit = _criterion(state.x, state.y, state.s)
+    use_best = bcrit < crit
+    x = jnp.where(use_best[:, None], bx, state.x)
+    y = jnp.where(use_best[:, None], by, state.y)
+    s = jnp.where(use_best[:, None], bs, state.s)
+    crit = jnp.minimum(crit, bcrit)
+    closable = (state.status == st.RUNNING) | (state.status == st.ITER_LIMIT)
+    status = jnp.where(closable & (crit <= eps), st.OPTIMAL, state.status)
+    status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)
+    return IPMState(x=x, y=y, s=s, iters=state.iters, status=status)
+
+
+def ipm_state_to_result(c, state: IPMState) -> BatchResult:
+    """Wrap a terminal :class:`IPMState` as a :class:`BatchResult`.
+
+    IPM iterates are interior points, not vertices: ``basis`` is ``-1``
+    (use :mod:`linprog_tpu.crossover` for an exact basis certificate).
+    """
+    B, m = state.y.shape
+    cost = jnp.sum(c * state.x, axis=1)
+    return BatchResult(
+        x=state.x,
+        basis=jnp.full((B, m), -1, jnp.int32),
+        cost=cost,
+        iters=state.iters,
+        status=state.status,
+        y=state.y,
+    )
+
+
+def ipm_solve_batch_canonical(c, G, h, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
+    """Batched IPM on canonical-form LPs ``min c'x, Gx <= h, x >= 0``.
+
+    ``c[B,n], G[B,m,n], h[B,m]``.  Slack columns are appended on device;
+    the returned :class:`BatchResult` is in the slack-extended space (first
+    ``n`` entries of ``x`` are the user variables), matching the convention
+    of :func:`linprog_tpu.crossover.crossover_batch_canonical` so the two
+    compose directly.
+    """
+    B, m, n = G.shape
+    dt = G.dtype
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
+    As = jnp.concatenate([G, eye], axis=2)
+    cs = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
+    state = ipm_solve_batch_standard(cs, As, h, cfg)
+    return ipm_state_to_result(cs, state)
+
+
+class IPMSolver:
+    """Interior-point LP solver with the general-form input surface.
+
+    ``min c'x  s.t.  Ax = b, Gx <= h, x >= 0`` -- same entry-point shape as
+    :class:`linprog_tpu.SimplexSolver` / :class:`linprog_tpu.PDHGSolver`
+    (reference analogue: ``linprog/simplex.py`` general-form driver), for
+    the regime where ``m`` is large and few high-accuracy Newton steps beat
+    many cheap pivots.  Finite variable bounds are supported via extra
+    inequality rows (``lb <= x``: ``-x <= -lb`` with ``lb >= 0``; ``ub``:
+    ``x <= ub``); free or negative-lower-bounded variables are not -- use
+    :class:`SimplexSolver`/:class:`PDHGSolver` there.
+
+    Because the IPM never sign-flips rows, the returned duals ``y`` are in
+    the USER's row space directly (eq rows first, then ineq rows, then any
+    bound rows).
+    """
+
+    def __init__(self, c, A=None, b=None, G=None, h=None, lb=None, ub=None,
+                 config: Optional[IPMConfig] = None):
+        self.config = config or DEFAULT_IPM_CONFIG
+        dt = np.dtype(self.config.dtype)
+        c = np.asarray(c, dtype=dt)
+        n = c.shape[0]
+        has_eq = A is not None and b is not None
+        has_ineq = G is not None and h is not None
+        if not has_eq and not has_ineq:
+            raise ValueError(
+                "Input polyhedron misspecified: need (A, b) and/or (G, h)."
+            )
+        G_rows = []
+        h_rows = []
+        if has_ineq:
+            G_rows.append(np.atleast_2d(np.asarray(G, dtype=dt)))
+            h_rows.append(np.asarray(h, dtype=dt))
+        if lb is not None:
+            lb = np.asarray(lb, dtype=dt)
+            if np.any(lb < 0):
+                raise ValueError(
+                    "IPMSolver supports lb >= 0 only (x >= 0 is implicit); "
+                    "use SimplexSolver/PDHGSolver for negative lower bounds."
+                )
+            idx = np.flatnonzero(np.isfinite(lb) & (lb > 0))
+            if idx.size:
+                rows = np.zeros((idx.size, n), dtype=dt)
+                rows[np.arange(idx.size), idx] = -1.0
+                G_rows.append(rows)
+                h_rows.append(-lb[idx])
+        if ub is not None:
+            ub = np.asarray(ub, dtype=dt)
+            idx = np.flatnonzero(np.isfinite(ub))
+            if idx.size:
+                rows = np.zeros((idx.size, n), dtype=dt)
+                rows[np.arange(idx.size), idx] = 1.0
+                G_rows.append(rows)
+                h_rows.append(ub[idx])
+
+        blocks_A, blocks_b = [], []
+        num_ineq = sum(g.shape[0] for g in G_rows)
+        if has_eq:
+            Ae = np.atleast_2d(np.asarray(A, dtype=dt))
+            blocks_A.append(
+                np.concatenate([Ae, np.zeros((Ae.shape[0], num_ineq), dt)], axis=1)
+            )
+            blocks_b.append(np.asarray(b, dtype=dt))
+        if num_ineq:
+            Gi = np.concatenate(G_rows, axis=0)
+            blocks_A.append(np.concatenate([Gi, np.eye(num_ineq, dtype=dt)], axis=1))
+            blocks_b.append(np.concatenate(h_rows))
+        self.n_orig = n
+        self._c_std = np.concatenate([c, np.zeros(num_ineq, dtype=dt)])
+        self._A_std = np.concatenate(blocks_A, axis=0)
+        self._b_std = np.concatenate(blocks_b)
+
+    def solve(self, maxiters: Optional[int] = None) -> LinProgResult:
+        cfg = self.config
+        if maxiters is not None:
+            cfg = dataclasses.replace(cfg, maxiters=int(maxiters))
+        state = ipm_solve_batch_standard(
+            jnp.asarray(self._c_std)[None],
+            jnp.asarray(self._A_std)[None],
+            jnp.asarray(self._b_std)[None],
+            cfg,
+        )
+        self._state = state
+        x_std = np.asarray(state.x[0])
+        code = int(state.status[0])
+        x = x_std[: self.n_orig]
+        return LinProgResult(
+            x=x,
+            basis=None,
+            cost=float(self._c_std[: self.n_orig] @ x),
+            iters=int(state.iters[0]),
+            optimum=code == st.OPTIMAL,
+            status=code,
+            y=np.asarray(state.y[0]),
+        )
+
+    @property
+    def duals(self) -> np.ndarray:
+        """Dual iterate ``y`` in the user's row space; solve first."""
+        if not hasattr(self, "_state"):
+            raise AttributeError("call solve() first")
+        return np.asarray(self._state.y[0])

@@ -2,6 +2,7 @@ from .mesh import (
     batch_sharding,
     make_batch_mesh,
     shard_batch,
+    sharded_ipm_batch_canonical,
     sharded_pdhg_batch_canonical,
     sharded_two_phase_solve,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_batch_mesh",
     "batch_sharding",
     "shard_batch",
+    "sharded_ipm_batch_canonical",
     "sharded_pdhg_batch_canonical",
     "sharded_two_phase_solve",
     "make_model_mesh",

@@ -91,3 +91,23 @@ def sharded_pdhg_batch_canonical(mesh: Mesh, c, G, h,
         raise ValueError(f"batch size {B} not divisible by mesh size {n_dev}")
     c, G, h = shard_batch(mesh, c, G, h)
     return pdhg_solve_batch_canonical(c, G, h, maxiters=maxiters, cfg=cfg)
+
+
+def sharded_ipm_batch_canonical(mesh: Mesh, c, G, h, cfg=None) -> BatchResult:
+    """Batched interior-point solve with the batch dim sharded over ``mesh``.
+
+    The IPM counterpart of :func:`sharded_two_phase_solve` /
+    :func:`sharded_pdhg_batch_canonical`: every per-iteration op (batched
+    matmuls, batched Cholesky, triangular solves) carries the leading batch
+    dim, so DP sharding is pure per-device compute; only the while-loop
+    termination reduction (``jnp.any`` over lane statuses) rides ICI.
+    """
+    from ..ipm import DEFAULT_IPM_CONFIG, ipm_solve_batch_canonical
+
+    cfg = cfg or DEFAULT_IPM_CONFIG
+    B = c.shape[0]
+    n_dev = mesh.devices.size
+    if B % n_dev != 0:
+        raise ValueError(f"batch size {B} not divisible by mesh size {n_dev}")
+    c, G, h = shard_batch(mesh, c, G, h)
+    return ipm_solve_batch_canonical(c, G, h, cfg)

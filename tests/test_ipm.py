@@ -1,0 +1,169 @@
+"""Interior-point (Mehrotra) solver: correctness, duals, crossover composition.
+
+Third solver family -- oracle'd the same way as the PDHG suite: textbook
+instances, random-LP parity vs HiGHS (scipy.linprog), dual marginals, and
+the IPM -> crossover pipeline landing on an exact vertex.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linprog_tpu import status as st
+from linprog_tpu.crossover import crossover_batch_canonical
+from linprog_tpu.generators import random_inequality_lps
+from linprog_tpu.ipm import (
+    IPMConfig,
+    IPMSolver,
+    ipm_solve_batch_canonical,
+    ipm_solve_batch_standard,
+    ipm_state_to_result,
+)
+
+CFG = IPMConfig(eps_rel=1e-7, maxiters=60, dtype="float64")
+
+
+def test_simple_inequality_lp():
+    # min -x1 - 2 x2  s.t. x1 + x2 <= 4, x2 <= 2 -> x = (2, 2), cost -6
+    res = IPMSolver(
+        c=np.array([-1.0, -2.0]),
+        G=np.array([[1.0, 1.0], [0.0, 1.0]]),
+        h=np.array([4.0, 2.0]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.cost == pytest.approx(-6.0, abs=1e-5)
+    assert np.allclose(res.x, [2.0, 2.0], atol=1e-5)
+
+
+def test_equality_and_bounds():
+    # min -x1 s.t. x1 + x2 = 3, 0.5 <= x1 <= 2 -> x1 = 2
+    res = IPMSolver(
+        c=np.array([-1.0, 0.0]),
+        A=np.array([[1.0, 1.0]]),
+        b=np.array([3.0]),
+        lb=np.array([0.5, 0.0]),
+        ub=np.array([2.0, np.inf]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(2.0, abs=1e-5)
+    assert res.x[1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_negative_lb_rejected():
+    with pytest.raises(ValueError, match="lb >= 0"):
+        IPMSolver(
+            c=np.array([1.0]),
+            G=np.array([[1.0]]),
+            h=np.array([1.0]),
+            lb=np.array([-1.0]),
+        )
+
+
+def test_matches_highs_on_random_batch():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    B, m, n = 8, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=7, dtype=np.float64)
+    res = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), CFG
+    )
+    for i in range(B):
+        ref = scipy_opt.linprog(c[i], A_ub=G[i], b_ub=h[i], method="highs")
+        assert ref.status == 0
+        assert int(res.status[i]) == st.OPTIMAL
+        assert float(res.cost[i]) == pytest.approx(ref.fun, rel=1e-6, abs=1e-6)
+        # duals: standard form min c'x, Ax=b gives y_i <= 0 on <=-rows at the
+        # optimum, the same sign convention as HiGHS ineqlin marginals
+        assert np.allclose(
+            np.asarray(res.y[i]), ref.ineqlin.marginals, atol=1e-5
+        )
+
+
+def test_iteration_count_is_small():
+    # IPM's selling point: tens of Newton steps, independent of instance
+    B, m, n = 4, 40, 60
+    c, G, h = random_inequality_lps(B, m, n, seed=11, dtype=np.float64)
+    res = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), CFG
+    )
+    assert np.all(np.asarray(res.status) == st.OPTIMAL)
+    assert np.all(np.asarray(res.iters) < 40)
+
+
+def test_standard_form_with_negative_rhs_rows():
+    # unlike the simplex path the IPM needs no b >= 0 normalization; a row
+    # with negative rhs must come back with duals in the caller's row space
+    c = np.array([[1.0, 2.0, 0.0]])
+    A = np.array([[[1.0, 1.0, 1.0], [-1.0, 0.0, 0.0]]])  # x1+x2+x3=2, -x1=-1
+    b = np.array([[2.0, -1.0]])
+    state = ipm_solve_batch_standard(
+        jnp.asarray(c), jnp.asarray(A), jnp.asarray(b), CFG
+    )
+    res = ipm_state_to_result(jnp.asarray(c), state)
+    assert int(res.status[0]) == st.OPTIMAL
+    # x1 = 1 forced; minimize 1*x1 + 2*x2 -> x2 = 0, x3 = 1, cost 1
+    assert np.allclose(np.asarray(res.x[0]), [1.0, 0.0, 1.0], atol=1e-6)
+    assert float(res.cost[0]) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_ipm_crossover_lands_on_exact_vertex():
+    B, m, n = 6, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=3, dtype=np.float64)
+    cj, Gj, hj = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    res = ipm_solve_batch_canonical(cj, Gj, hj, CFG)
+    assert np.all(np.asarray(res.status) == st.OPTIMAL)
+    # crossover consumes the slack-extended x and returns an exact basis
+    crossed_res, crossed = crossover_batch_canonical(
+        cj, Gj, hj, res.x[:, :n]
+    )
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    for i in range(B):
+        ref = scipy_opt.linprog(c[i], A_ub=G[i], b_ub=h[i], method="highs")
+        if bool(crossed[i]):
+            assert float(crossed_res.cost[i]) == pytest.approx(
+                ref.fun, rel=1e-9, abs=1e-9
+            )
+    # near-nondegenerate random instances: the basis guess should almost
+    # always work -- demand a majority crossed so the test has teeth
+    assert int(np.sum(np.asarray(crossed))) >= B // 2
+
+
+def test_sharded_matches_unsharded():
+    from linprog_tpu.parallel import make_batch_mesh, sharded_ipm_batch_canonical
+
+    B, m, n = 8, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=13, dtype=np.float64)
+    cj, Gj, hj = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    plain = ipm_solve_batch_canonical(cj, Gj, hj, CFG)
+    mesh = make_batch_mesh(8)
+    sharded = sharded_ipm_batch_canonical(mesh, cj, Gj, hj, CFG)
+    assert np.array_equal(np.asarray(plain.status), np.asarray(sharded.status))
+    assert np.allclose(
+        np.asarray(plain.cost), np.asarray(sharded.cost), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_infeasible_is_not_reported_optimal():
+    # x1 <= -1 with x >= 0 is infeasible; IPM has no certificate, but it
+    # must not claim OPTIMAL
+    res = IPMSolver(
+        c=np.array([1.0]),
+        G=np.array([[1.0]]),
+        h=np.array([-1.0]),
+        config=dataclasses.replace(CFG, maxiters=50),
+    ).solve()
+    assert not res.optimum
+    assert res.status in (st.ITER_LIMIT, st.NUMERICAL_ERROR)
+
+
+def test_f32_path_converges_at_f32_tolerance():
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=60, dtype="float32")
+    B, m, n = 4, 8, 12
+    c, G, h = random_inequality_lps(B, m, n, seed=5, dtype=np.float32)
+    res = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), cfg
+    )
+    assert np.all(np.asarray(res.status) == st.OPTIMAL)
