@@ -359,7 +359,14 @@ def main():
             jax, 256, 256, 1024, args.maxiters, cfg,
         )
         extras["pdhg_m256"] = run_pdhg_batch(jax, 256, 256, 1024)
+        # interior-point family across sizes: few Newton steps regardless
+        # of m, so it overtakes the pivot-bound simplex path as m grows
+        # (measured v5e f32 eps=1e-3: m=256 827 LPs/s, m=512 323,
+        # m=1024 105, m=2048 25.6 vs simplex 573-589 / 77 / 7.9 / 0.64)
         extras["ipm_m256"] = run_ipm_batch(jax, 256, 256, 256)
+        extras["ipm_m512"] = run_ipm_batch(jax, 512, 512, 128)
+        extras["ipm_m1024"] = run_ipm_batch(jax, 1024, 1024, 64)
+        extras["ipm_m2048"] = run_ipm_batch(jax, 2048, 2048, 16)
 
     out = {
         "metric": f"batched_lps_per_sec_m{args.m}_n{args.n}",
