@@ -65,8 +65,11 @@ class IPMConfig:
     # For exact vertices/objectives, chain linprog_tpu.crossover.
     eps_rel: float = 1e-3
     maxiters: int = 80
-    # fraction-to-boundary damping on the primal/dual step lengths
-    frac: float = 0.995
+    # fraction-to-boundary damping on the primal/dual step lengths.
+    # 0.99 measured: same f64 iteration counts as 0.995 but keeps f32
+    # iterates better centered (123 -> 126/128 straggler lanes optimal
+    # at eps 1e-3); 0.95 buys one more lane for +1 iteration
+    frac: float = 0.99
     # Tikhonov regularization of the normal matrix, scaled by its mean
     # diagonal (the Cholesky needs this once complementarity spreads d).
     # None -> dtype-resolved default: 1e-12 in f64, 1e-7 in f32 (measured:
