@@ -361,8 +361,9 @@ def main():
         extras["pdhg_m256"] = run_pdhg_batch(jax, 256, 256, 1024)
         # interior-point family across sizes: few Newton steps regardless
         # of m, so it overtakes the pivot-bound simplex path as m grows
-        # (measured v5e f32 eps=1e-3: m=256 827 LPs/s, m=512 323,
-        # m=1024 105, m=2048 25.6 vs simplex 573-589 / 77 / 7.9 / 0.64)
+        # (measured v5e f32 eps=1e-3, frac=0.99: m=256 819-898 LPs/s,
+        # m=512 331, m=1024 109 (64/64 optimal), m=2048 24-26
+        # vs simplex 573-589 / 77 / 7.9 / 0.64)
         extras["ipm_m256"] = run_ipm_batch(jax, 256, 256, 256)
         extras["ipm_m512"] = run_ipm_batch(jax, 512, 512, 128)
         extras["ipm_m1024"] = run_ipm_batch(jax, 1024, 1024, 64)
