@@ -30,6 +30,7 @@ from .api import (
 )
 from .crossover import (
     crossover_batch_canonical,
+    ipm_crossover_batch_canonical,
     pdhg_crossover_batch_canonical,
 )
 from .ipm import (
@@ -87,6 +88,7 @@ __all__ = [
     "DualIsUnboundedError",
     "DualIsInfeasibleError",
     "crossover_batch_canonical",
+    "ipm_crossover_batch_canonical",
     "pdhg_crossover_batch_canonical",
     "ranging",
     "ranging_batch",

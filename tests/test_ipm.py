@@ -131,6 +131,22 @@ def test_ipm_crossover_lands_on_exact_vertex():
     assert int(np.sum(np.asarray(crossed))) >= B // 2
 
 
+def test_ipm_crossover_pipeline():
+    from linprog_tpu.crossover import ipm_crossover_batch_canonical
+
+    B, m, n = 6, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=17, dtype=np.float64)
+    merged, crossed = ipm_crossover_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), CFG
+    )
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    assert int(np.sum(np.asarray(crossed))) >= B // 2
+    for i in range(B):
+        ref = scipy_opt.linprog(c[i], A_ub=G[i], b_ub=h[i], method="highs")
+        tol = dict(rel=1e-9, abs=1e-9) if bool(crossed[i]) else dict(rel=1e-5)
+        assert float(merged.cost[i]) == pytest.approx(ref.fun, **tol)
+
+
 def test_sharded_matches_unsharded():
     from linprog_tpu.parallel import make_batch_mesh, sharded_ipm_batch_canonical
 
