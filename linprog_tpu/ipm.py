@@ -344,10 +344,10 @@ class IPMSolver:
     :class:`linprog_tpu.SimplexSolver` / :class:`linprog_tpu.PDHGSolver`
     (reference analogue: ``linprog/simplex.py`` general-form driver), for
     the regime where ``m`` is large and few high-accuracy Newton steps beat
-    many cheap pivots.  Finite variable bounds are supported via extra
-    inequality rows (``lb <= x``: ``-x <= -lb`` with ``lb >= 0``; ``ub``:
-    ``x <= ub``); free or negative-lower-bounded variables are not -- use
-    :class:`SimplexSolver`/:class:`PDHGSolver` there.
+    many cheap pivots.  Finite lower bounds of ANY sign are handled by the
+    substitution ``x = lb + w`` (mirroring ``SimplexSolver``); finite upper
+    bounds become extra inequality rows.  Free variables (``lb = -inf``)
+    are not supported -- use :class:`SimplexSolver`/:class:`PDHGSolver`.
 
     Because the IPM never sign-flips rows, the returned duals ``y`` are in
     the USER's row space directly (eq rows first, then ineq rows, then any
@@ -366,24 +366,40 @@ class IPMSolver:
             raise ValueError(
                 "Input polyhedron misspecified: need (A, b) and/or (G, h)."
             )
+        Ae = np.atleast_2d(np.asarray(A, dtype=dt)) if has_eq else None
+        be = np.asarray(b, dtype=dt) if has_eq else None
+        Gi_user = np.atleast_2d(np.asarray(G, dtype=dt)) if has_ineq else None
+        hi_user = np.asarray(h, dtype=dt) if has_ineq else None
+
+        # finite lower bounds of any sign: substitute x = lb + w (w >= 0),
+        # shifting the eq/ineq right-hand sides and the upper bounds
+        self._shift_idx = np.array([], dtype=int)
+        self._shift_lb = np.array([], dtype=dt)
+        if lb is not None:
+            lb = np.asarray(lb, dtype=dt)
+            if np.any(~np.isfinite(lb) & (lb < 0)):
+                raise ValueError(
+                    "IPMSolver does not support free variables (lb=-inf); "
+                    "use SimplexSolver/PDHGSolver there."
+                )
+            idx = np.flatnonzero(np.isfinite(lb) & (lb != 0))
+            if idx.size:
+                shift = lb[idx].copy()
+                if Ae is not None:
+                    be = be - Ae[:, idx] @ shift
+                if Gi_user is not None:
+                    hi_user = hi_user - Gi_user[:, idx] @ shift
+                if ub is not None:
+                    ub = np.asarray(ub, dtype=dt).copy()
+                    ub[idx] = ub[idx] - shift
+                self._shift_idx = idx
+                self._shift_lb = shift
+
         G_rows = []
         h_rows = []
         if has_ineq:
-            G_rows.append(np.atleast_2d(np.asarray(G, dtype=dt)))
-            h_rows.append(np.asarray(h, dtype=dt))
-        if lb is not None:
-            lb = np.asarray(lb, dtype=dt)
-            if np.any(lb < 0):
-                raise ValueError(
-                    "IPMSolver supports lb >= 0 only (x >= 0 is implicit); "
-                    "use SimplexSolver/PDHGSolver for negative lower bounds."
-                )
-            idx = np.flatnonzero(np.isfinite(lb) & (lb > 0))
-            if idx.size:
-                rows = np.zeros((idx.size, n), dtype=dt)
-                rows[np.arange(idx.size), idx] = -1.0
-                G_rows.append(rows)
-                h_rows.append(-lb[idx])
+            G_rows.append(Gi_user)
+            h_rows.append(hi_user)
         if ub is not None:
             ub = np.asarray(ub, dtype=dt)
             idx = np.flatnonzero(np.isfinite(ub))
@@ -396,11 +412,10 @@ class IPMSolver:
         blocks_A, blocks_b = [], []
         num_ineq = sum(g.shape[0] for g in G_rows)
         if has_eq:
-            Ae = np.atleast_2d(np.asarray(A, dtype=dt))
             blocks_A.append(
                 np.concatenate([Ae, np.zeros((Ae.shape[0], num_ineq), dt)], axis=1)
             )
-            blocks_b.append(np.asarray(b, dtype=dt))
+            blocks_b.append(be)
         if num_ineq:
             Gi = np.concatenate(G_rows, axis=0)
             blocks_A.append(np.concatenate([Gi, np.eye(num_ineq, dtype=dt)], axis=1))
@@ -423,7 +438,9 @@ class IPMSolver:
         self._state = state
         x_std = np.asarray(state.x[0])
         code = int(state.status[0])
-        x = x_std[: self.n_orig]
+        x = x_std[: self.n_orig].copy()
+        if self._shift_idx.size:
+            x[self._shift_idx] += self._shift_lb
         return LinProgResult(
             x=x,
             basis=None,

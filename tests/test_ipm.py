@@ -53,13 +53,61 @@ def test_equality_and_bounds():
     assert res.x[1] == pytest.approx(1.0, abs=1e-5)
 
 
-def test_negative_lb_rejected():
-    with pytest.raises(ValueError, match="lb >= 0"):
+def test_negative_lower_bound_shifted():
+    # min x1 s.t. x1 <= 1, x1 >= -2 -> optimum at the negative bound
+    res = IPMSolver(
+        c=np.array([1.0]),
+        G=np.array([[1.0]]),
+        h=np.array([1.0]),
+        lb=np.array([-2.0]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.x[0] == pytest.approx(-2.0, abs=1e-5)
+    assert res.cost == pytest.approx(-2.0, abs=1e-5)
+
+
+def test_negative_lb_with_equality_and_ub():
+    # min x1 + x2 s.t. x1 + x2 = -1, -3 <= x1 <= 0, 0 <= x2 <= 4
+    # any feasible point costs -1; check feasibility mapping back
+    res = IPMSolver(
+        c=np.array([1.0, 1.0]),
+        A=np.array([[1.0, 1.0]]),
+        b=np.array([-1.0]),
+        lb=np.array([-3.0, 0.0]),
+        ub=np.array([0.0, 4.0]),
+        config=CFG,
+    ).solve()
+    assert res.optimum
+    assert res.x[0] + res.x[1] == pytest.approx(-1.0, abs=1e-5)
+    assert -3.0 - 1e-5 <= res.x[0] <= 1e-5
+    assert res.cost == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_mixed_sign_bounds_match_simplex_driver():
+    from linprog_tpu import SimplexSolver
+
+    rng = np.random.default_rng(0)
+    n, mG = 6, 8
+    lb = np.array([-2.0, -1.0, 0.0, 0.5, -3.0, 0.0])
+    ub = np.full(n, 2.0)
+    x0 = lb + (ub - lb) * rng.uniform(0.2, 0.8, n)  # strictly inside the box
+    G = rng.normal(size=(mG, n))
+    h = G @ x0 + rng.uniform(0.1, 1, mG)
+    c = rng.normal(size=n)
+    r_ipm = IPMSolver(c, G=G, h=h, lb=lb, ub=ub, config=CFG).solve()
+    r_simplex = SimplexSolver(c, G=G, h=h, lb=lb, ub=ub).solve()
+    assert r_ipm.optimum and r_simplex.optimum
+    assert r_ipm.cost == pytest.approx(r_simplex.cost, rel=1e-5, abs=1e-5)
+
+
+def test_free_variable_rejected():
+    with pytest.raises(ValueError, match="free variables"):
         IPMSolver(
             c=np.array([1.0]),
             G=np.array([[1.0]]),
             h=np.array([1.0]),
-            lb=np.array([-1.0]),
+            lb=np.array([-np.inf]),
         )
 
 
