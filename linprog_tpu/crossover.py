@@ -6,11 +6,15 @@ family always terminates at a vertex with a basis certificate.  This
 module combines them, the way PDLP pairs its first-order solver with a
 crossover step: take the approximate ``x``, guess the optimal basis (the
 ``m`` largest components of ``[x; s]`` -- near a non-degenerate vertex
-those are exactly the basic variables), factorize it, and run a handful
-of batched simplex cleanup pivots.  Lanes whose guess is primal feasible
-finish in a few pivots with machine-precision objectives and a dual
-certificate; the rest are reported (``crossed == False``) and keep their
-first-order answer.
+those are exactly the basic variables), factorize it, and clean up with
+batched simplex pivots.  Near the optimum the guessed basis is (almost)
+DUAL feasible by construction -- its reduced costs approximate the dual
+slacks ``s >= 0`` -- even when it is primal infeasible, so the cleanup is
+the classic dual-then-primal re-optimization: a batched dual-simplex
+phase restores primal feasibility from the guess, then a batched primal
+phase finishes to optimality.  Only lanes whose guess is numerically
+singular (or that exhaust the pivot budget) keep their first-order
+answer and report ``crossed == False``.
 
 Everything is batched and on-device: top-k basis guess, batched
 factorization, and the same batched engine the two-phase driver uses.
@@ -36,18 +40,25 @@ from .results import BatchResult
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "repair_rounds"))
 def crossover_batch_canonical(c, G, h, x, maxiters=512,
                               cfg: SolverConfig = DEFAULT_CONFIG,
-                              indicator=None):
+                              indicator=None, repair_rounds: int = 2):
     """Polish approximate solutions of ``min c'x, Gx <= h, x >= 0``.
 
     ``c[B, n], G[B, m, n], h[B, m]``; ``x[B, n]`` the approximate primal
     points (any first-order output).  Returns ``(BatchResult, crossed)``
     where ``crossed[B]`` marks lanes that reached a verified optimal
-    basis.  Lanes whose basis guess is singular or primal infeasible get
-    ``status == BASIS_PRIMAL_INFEASIBLE`` and ``crossed == False``; the
-    caller decides whether to fall back to a full two-phase solve.
+    basis.  A primal-infeasible basis guess is repaired by a batched
+    DUAL-simplex phase first (the guess is near-dual-feasible by
+    construction close to an optimum; reference dual-loop semantics:
+    ``/root/reference/linprog/dual_solvers.py:82-108``), then the primal
+    phase finishes.  Only lanes whose guess is numerically singular get
+    ``status == BASIS_PRIMAL_INFEASIBLE`` and ``crossed == False``
+    immediately; lanes whose dual phase detects ``DUAL_UNBOUNDED`` (the
+    guessed basis admits no primal-feasible completion) are also reported
+    uncrossed.  The caller decides whether to fall back to a full
+    two-phase solve.
 
     ``indicator`` (optional, ``[B, n+m]`` over the slack-extended space)
     overrides the basis-guess ranking: the m largest entries are taken as
@@ -62,6 +73,13 @@ def crossover_batch_canonical(c, G, h, x, maxiters=512,
     """
     B, m, n = G.shape
     dt = G.dtype
+    if cfg.refactor_every == 0:
+        # the cleanup phases start from an ALREADY factorized basis and may
+        # take hundreds of pivots on a bad guess; unbounded eta drift was
+        # measured to break exactly those lanes (NUMERICAL_ERROR after ~500
+        # drifted pivots).  Crossover has no reference pivot-path parity
+        # obligation, so a refactorization cadence is always applied.
+        cfg = cfg.replace(refactor_every=128)
     eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
     As = jnp.concatenate([G, eye], axis=2)  # [B, m, n+m]
     cs = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
@@ -88,38 +106,124 @@ def crossover_batch_canonical(c, G, h, x, maxiters=512,
     feasible = finite & jnp.all(
         bfs0 >= -cfg.feas_tol * scale[:, None], axis=1
     )
+    allowed = jnp.ones((n + m,), jnp.bool_)
 
+    # ---- dual -> primal repair rounds --------------------------------------
+    # Each round: (a) a batched dual-simplex phase repairs primal-infeasible
+    # lanes from their (near-)dual-feasible factors -- lanes already primal
+    # feasible skip it (status preset to OPTIMAL); (b) an exact
+    # refactorization; (c) a batched primal phase finishes to optimality;
+    # (d) an exact terminal solve verifies primal feasibility.  A lane the
+    # engine called OPTIMAL whose EXACT bfs is still infeasible (degenerate
+    # drift) re-enters the next round from its exact factors; round counts
+    # beyond 2 were never observed to reopen anything.
     states = engine.SimplexState(
         basis=basis,
         inv_B=inv_B,
-        bfs=jnp.maximum(bfs0, 0.0),
+        bfs=bfs0,
         iters=jnp.zeros((B,), jnp.int32),
         status=jnp.where(
-            feasible, st.RUNNING, st.BASIS_PRIMAL_INFEASIBLE
+            finite,
+            jnp.where(feasible, st.OPTIMAL, st.RUNNING),
+            st.BASIS_PRIMAL_INFEASIBLE,
         ).astype(jnp.int32),
     )
 
-    allowed = jnp.ones((n + m,), jnp.bool_)
-    states = _run_chunked(cs, As, h, states, allowed, maxiters, cfg, "primal")
+    verified = jnp.zeros((B,), jnp.bool_)
+    for _round in range(max(1, repair_rounds)):
+        states = _run_chunked(cs, As, h, states, allowed, maxiters, cfg,
+                              "dual")
 
-    # exact terminal solve (same accuracy pass as the two-phase driver)
-    B_final = jnp.take_along_axis(As, states.basis[:, None, :], axis=2)
-    bfs_exact = jnp.linalg.solve(B_final, h[:, :, None])[:, :, 0]
-    ok = jnp.all(jnp.isfinite(bfs_exact), axis=1)
-    states = states._replace(
-        bfs=jnp.where(ok[:, None], bfs_exact, states.bfs),
-        status=jnp.where(ok, states.status, st.NUMERICAL_ERROR).astype(
-            jnp.int32
-        ),
-    )
+        # re-map dual outcomes: primal-feasible lanes continue to the primal
+        # phase from an EXACT refactorization; DUAL_UNBOUNDED means the
+        # guessed basis has no primal-feasible completion (uncrossed); a
+        # lane still RUNNING exhausted the dual budget.
+        to_primal = states.status == st.OPTIMAL
+        B_dual = jnp.take_along_axis(As, states.basis[:, None, :], axis=2)
+        inv_fresh = jnp.linalg.inv(B_dual)
+        bfs_fresh = jnp.einsum("bij,bj->bi", inv_fresh, h,
+                               precision=_HIGHEST)
+        fresh_ok = jnp.all(jnp.isfinite(inv_fresh), axis=(1, 2)) & jnp.all(
+            jnp.isfinite(bfs_fresh), axis=1
+        )
+        status = jnp.where(
+            to_primal,
+            jnp.where(fresh_ok, st.RUNNING, st.NUMERICAL_ERROR),
+            jnp.where(
+                states.status == st.DUAL_UNBOUNDED,
+                st.BASIS_PRIMAL_INFEASIBLE,
+                jnp.where(states.status == st.RUNNING, st.ITER_LIMIT,
+                          states.status),
+            ),
+        ).astype(jnp.int32)
+        take = (to_primal & fresh_ok)[:, None]
+        states = states._replace(
+            inv_B=jnp.where(take[..., None], inv_fresh, states.inv_B),
+            bfs=jnp.where(take, jnp.maximum(bfs_fresh, 0.0), states.bfs),
+            status=status,
+        )
+
+        # primal phase: finish to optimality
+        states = _run_chunked(cs, As, h, states, allowed, maxiters, cfg,
+                              "primal")
+
+        # exact terminal solve (same accuracy pass as the two-phase driver),
+        # plus a primal-feasibility verification so a lane whose drifted eta
+        # factors fooled the engine can never be reported as crossed
+        B_final = jnp.take_along_axis(As, states.basis[:, None, :], axis=2)
+        bfs_exact = jnp.linalg.solve(B_final, h[:, :, None])[:, :, 0]
+        ok = jnp.all(jnp.isfinite(bfs_exact), axis=1)
+        verified = ok & jnp.all(
+            bfs_exact >= -cfg.feas_tol * scale[:, None], axis=1
+        )
+        states = states._replace(
+            bfs=jnp.where(ok[:, None], bfs_exact, states.bfs),
+            status=jnp.where(ok, states.status, st.NUMERICAL_ERROR).astype(
+                jnp.int32
+            ),
+        )
+        if _round + 1 < max(1, repair_rounds):
+            # reopen OPTIMAL-but-unverified lanes with the exact bfs (its
+            # negative entries are what the next dual phase repairs); the
+            # running eta factor is close enough for the dual pivots and
+            # gets an exact refactorization before the next primal phase
+            reopen = (states.status == st.OPTIMAL) & ~verified & ok
+            states = states._replace(
+                status=jnp.where(reopen, st.RUNNING,
+                                 states.status).astype(jnp.int32),
+            )
+
+    if cfg.polish_pivots > 0:
+        # same double-word terminal polish as the two-phase driver
+        # (batch.py): accurate repricing + a few dd-guided cleanup pivots
+        # fix the near-optimal vertices f32 pricing cannot distinguish
+        from .refine import polish_batch
+
+        act = (states.status == st.OPTIMAL) & verified
+        pbasis, pxB, _, pinv, _ = polish_batch(
+            cs, As, h, states.basis, allowed, act,
+            max_pivots=cfg.polish_pivots, pivot_tol=cfg.pivot_tol,
+            inv_B=states.inv_B,
+        )
+        states = states._replace(
+            basis=jnp.where(act[:, None], pbasis, states.basis),
+            bfs=jnp.where(act[:, None], pxB, states.bfs),
+            inv_B=jnp.where(act[:, None, None], pinv, states.inv_B),
+        )
 
     res = _to_result(cs, states, n + m)
-    crossed = res.status == st.OPTIMAL
+    crossed = (res.status == st.OPTIMAL) & verified
+    if cfg.polish_pivots > 0:  # compensated objective to match the polish
+        from .refine import dd_dot
+
+        cost = dd_dot(c, res.x[:, :n])
+    else:
+        cost = jnp.sum(c * res.x[:, :n], axis=1)
     return (
         BatchResult(
             x=res.x[:, :n],
             basis=res.basis,
-            cost=jnp.sum(c * res.x[:, :n], axis=1),
+            cost=cost,
             iters=res.iters,
             status=res.status,
             y=res.y,
@@ -182,11 +286,12 @@ def ipm_crossover_batch_canonical(c, G, h, ipm_cfg=None,
     replaces the interior one; elsewhere the IPM answer is kept.
     Returns ``(BatchResult, crossed)``.
 
-    Measured (f32, 128 lanes, m=n=128): magnitude ranking crosses 80/128;
-    the Tapia indicator ``x/s`` from the terminal state crossed 77/128 --
-    no better, because the terminal state restores the best-KKT iterate,
-    which sits mid-path where ``x/s`` is not yet sharply separated.  The
-    default magnitude guess is therefore used; pass ``indicator`` to
+    With the dual-then-primal cleanup in :func:`crossover_batch_canonical`
+    a primal-infeasible basis guess is repaired instead of rejected
+    (before: magnitude ranking crossed only 80/128 f32 lanes at m=n=128
+    because infeasible guesses bailed; the Tapia indicator ``x/s`` was no
+    better at 77/128 since the terminal state restores a mid-path
+    best-KKT iterate).  Pass ``indicator`` to
     :func:`crossover_batch_canonical` directly to experiment.
     """
     from .ipm import DEFAULT_IPM_CONFIG, ipm_solve_batch_standard
