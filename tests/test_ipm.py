@@ -23,6 +23,7 @@ from linprog_tpu.ipm import (
 )
 
 CFG = IPMConfig(eps_rel=1e-7, maxiters=60, dtype="float64")
+CFG32 = IPMConfig(eps_rel=1e-3, maxiters=60, dtype="float32")
 
 
 def test_simple_inequality_lp():
@@ -210,17 +211,69 @@ def test_sharded_matches_unsharded():
     )
 
 
-def test_infeasible_is_not_reported_optimal():
-    # x1 <= -1 with x >= 0 is infeasible; IPM has no certificate, but it
-    # must not claim OPTIMAL
-    res = IPMSolver(
+def test_infeasible_raises_with_certificate():
+    # x1 <= -1 with x >= 0 is infeasible: the diverging dual iterates are
+    # detected and the reference exception surface raises (parity with
+    # /root/reference/linprog/special_solvers.py:55-59)
+    from linprog_tpu.status import PrimalIsInfeasibleError
+
+    solver = IPMSolver(
         c=np.array([1.0]),
         G=np.array([[1.0]]),
         h=np.array([-1.0]),
         config=dataclasses.replace(CFG, maxiters=50),
-    ).solve()
-    assert not res.optimum
-    assert res.status in (st.ITER_LIMIT, st.NUMERICAL_ERROR)
+    )
+    with pytest.raises(PrimalIsInfeasibleError):
+        solver.solve()
+    # the Farkas certificate is available on the solver: y'A <= 0, y'b > 0
+    y = solver.duals
+    A_std = np.array([[1.0, 1.0]])  # [G | I]
+    assert (y @ A_std).max() <= 1e-4
+    assert float(np.array([-1.0]) @ y) > 1e-3
+
+
+def test_batched_ipm_certificates_verify():
+    """Batched infeasible + unbounded instances through the IPM path get
+    PRIMAL_INFEASIBLE / PRIMAL_UNBOUNDED with machine-verifiable rays
+    (round-2 VERDICT item 3)."""
+    rng = np.random.default_rng(0)
+    B, m, n = 6, 10, 14
+    G = rng.normal(size=(B, m, n)).astype(np.float32)
+    h = np.abs(rng.normal(size=(B, m))).astype(np.float32) + 1.0
+    G[:, 0, :] = 0.0
+    G[:, 0, 0] = 1.0
+    h[:, 0] = -1.0  # x0 <= -1 with x >= 0: infeasible
+    c = np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    res = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), CFG32
+    )
+    stt = np.asarray(res.status)
+    assert (stt == st.PRIMAL_INFEASIBLE).all()
+    y = np.asarray(res.y)
+    for i in range(B):
+        A = np.concatenate([G[i], np.eye(m, dtype=np.float32)], axis=1)
+        assert (y[i] @ A).max() <= 1e-3
+        assert float(h[i] @ y[i]) > 1e-3
+
+    # unbounded: min -x0 where column 0 of G is <= 0 (ray e0 improves)
+    G2 = rng.normal(size=(B, m, n)).astype(np.float32)
+    G2[:, :, 0] = -np.abs(G2[:, :, 0])
+    h2 = np.abs(rng.normal(size=(B, m))).astype(np.float32) + 1.0
+    c2 = rng.normal(size=(B, n)).astype(np.float32)
+    c2[:, 0] = -1.0
+    c2[:, 1:] = np.abs(c2[:, 1:])
+    res2 = ipm_solve_batch_canonical(
+        jnp.asarray(c2), jnp.asarray(G2), jnp.asarray(h2), CFG32
+    )
+    stt2 = np.asarray(res2.status)
+    assert (stt2 == st.PRIMAL_UNBOUNDED).all()
+    x = np.asarray(res2.x)
+    for i in range(B):
+        A = np.concatenate([G2[i], np.eye(m, dtype=np.float32)], axis=1)
+        cs = np.concatenate([c2[i], np.zeros(m, np.float32)])
+        assert np.abs(A @ x[i]).max() <= 1e-3  # A r = 0
+        assert x[i].min() >= -1e-6  # r >= 0
+        assert float(cs @ x[i]) < -1e-3  # improving
 
 
 def test_f32_path_converges_at_f32_tolerance():
@@ -231,3 +284,32 @@ def test_f32_path_converges_at_f32_tolerance():
         jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), cfg
     )
     assert np.all(np.asarray(res.status) == st.OPTIMAL)
+
+
+def test_straggler_recovery_routes_through_crossover():
+    """recover=True repairs every lane the f32 IPM leaves non-OPTIMAL at
+    its KKT floor to an exact vertex (round-2 VERDICT item 2)."""
+    from scipy.optimize import linprog as scipy_linprog
+
+    cfg = IPMConfig(eps_rel=1e-4, maxiters=40, dtype="float32")
+    B, m, n = 32, 48, 48
+    c, G, h = random_inequality_lps(B, m, n, seed=17, dtype=np.float32)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    raw = ipm_solve_batch_canonical(c, G, h, cfg)
+    rec = ipm_solve_batch_canonical(c, G, h, cfg, recover=True)
+    raw_opt = int((np.asarray(raw.status) == st.OPTIMAL).sum())
+    rec_opt = int((np.asarray(rec.status) == st.OPTIMAL).sum())
+    assert rec_opt >= raw_opt
+    assert rec_opt >= int(0.995 * B)  # the round-3 recovery bar
+    # recovered lanes must be TRULY optimal (exact vertices), not relabeled
+    stragglers = np.flatnonzero(np.asarray(raw.status) != st.OPTIMAL)
+    for i in stragglers:
+        if int(np.asarray(rec.status)[i]) != st.OPTIMAL:
+            continue
+        ref = scipy_linprog(
+            np.asarray(c[i]), A_ub=np.asarray(G[i]), b_ub=np.asarray(h[i]),
+            bounds=(0, None), method="highs",
+        )
+        gap = abs(float(rec.cost[i]) - ref.fun) / max(1, abs(ref.fun))
+        assert gap < 1e-5
+        assert (np.asarray(rec.basis)[i] >= 0).all()  # basis certificate
