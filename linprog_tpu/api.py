@@ -337,7 +337,11 @@ class SimplexSolver:
         lb=None,
         ub=None,
         config: Optional[SolverConfig] = None,
+        bounds_mode: str = "native",
     ):
+        if bounds_mode not in ("native", "rows"):
+            raise ValueError(f"unknown bounds_mode: {bounds_mode!r}")
+        self._bounds_mode = bounds_mode
         self.config = config or DEFAULT_CONFIG
         dtype = np.dtype(self.config.dtype)
         c = np.asarray(c, dtype=dtype).copy()
@@ -445,7 +449,19 @@ class SimplexSolver:
         return x
 
     def solve(self, maxiters1: int = 100, maxiters2: int = 100) -> LinProgResult:
-        """Two-phase solve (reference ``simplex.py:79-102``)."""
+        """Two-phase solve (reference ``simplex.py:79-102``).
+
+        Finite upper bounds route through the NATIVE bounded-variable
+        engine (``bounds_mode="native"``, the default): after the
+        constructor's lower-bound shift the standard form is
+        ``0 <= x <= ub``, which the bounded engine handles without the
+        reference's one-row-one-column-per-bound inflation
+        (``preprocessing.py:30-69``) -- Phase I is the measured 62% of
+        pivots, and bound rows fed it directly.  ``bounds_mode="rows"``
+        keeps the reference-parity materialization.
+        """
+        if self._bounds_mode == "native" and np.isfinite(self.ub).any():
+            return self._solve_native_bounds(maxiters1, maxiters2)
         c1, A1, b1 = forms.bounds_to_rows(
             self.c, self.A, self.b, self.lb, self.ub,
             dtype=np.dtype(self.config.dtype),
@@ -469,4 +485,41 @@ class SimplexSolver:
             y_full[keep] = res.y
             y_user = y_full[: self._m_user]
             res.y = np.where(self._row_flip, -y_user, y_user)
+        return res
+
+    def _solve_native_bounds(
+        self, maxiters1: int, maxiters2: int
+    ) -> LinProgResult:
+        """Bounded-engine dispatch: lb already shifted to 0 in __init__,
+        so the standard form is ``0 <= x <= ub`` -- exactly the native
+        surface of :func:`linprog_tpu.bounded.solve_bounded_two_phase`."""
+        from . import bounded as bnd
+
+        dtype = np.dtype(self.config.dtype)
+        x_std, basis, iters, status, y = bnd.solve_bounded_two_phase(
+            jnp.asarray(self.c, dtype),
+            jnp.asarray(self.A, dtype),
+            jnp.asarray(self.b, dtype),
+            jnp.asarray(self.lb, dtype),
+            jnp.asarray(self.ub, dtype),
+            jnp.asarray(maxiters1, jnp.int32),
+            jnp.asarray(maxiters2, jnp.int32),
+            self.config,
+        )
+        code = int(status)
+        x = self._reconstruct_x(np.asarray(x_std)[: self.n_aug])
+        # duals in the user's row space: no bound rows were added and no
+        # rows dropped, so only the sign-fix flip needs undoing
+        y_user = np.asarray(y)[: self._m_user]
+        y_user = np.where(self._row_flip, -y_user, y_user)
+        res = LinProgResult(
+            x=x,
+            basis=None,  # uninterpretable in the original variable space
+            cost=float(self._c_orig @ x),
+            iters=int(iters),
+            optimum=code == st.OPTIMAL,
+            status=code,
+            y=y_user,
+        )
+        st.raise_for_status(code)
         return res

