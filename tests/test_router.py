@@ -1,0 +1,89 @@
+"""Solver-family auto-router (linprog_tpu.router).
+
+The router must (a) encode the measured regime boundaries, (b) produce
+correct results through every family with a uniform result surface
+(x over the structural columns), and (c) honor explicit overrides.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linprog as scipy_linprog
+
+from linprog_tpu import choose_family, solve_batch_auto
+from linprog_tpu import status as st
+from linprog_tpu.config import SolverConfig
+from linprog_tpu.generators import random_inequality_lps
+
+
+def test_routing_rules_match_measured_table():
+    # exact accuracy: simplex small, ipm+crossover large
+    assert choose_family(128, 1e-6) == "simplex"
+    assert choose_family(256, 1e-6) == "simplex"
+    assert choose_family(512, 1e-6) == "ipm+crossover"
+    assert choose_family(2048, 1e-6) == "ipm+crossover"
+    # moderate accuracy: ipm from m ~ 256 up
+    assert choose_family(128, 1e-3) == "simplex"
+    assert choose_family(256, 1e-3) == "ipm"
+    assert choose_family(1024, 1e-3) == "ipm"
+    # huge + loose: first-order
+    assert choose_family(4096, 1e-4) == "pdhg"
+    assert choose_family(4096, 1e-6) == "ipm+crossover"
+
+
+def _highs(c, G, h):
+    return np.array([
+        scipy_linprog(
+            np.asarray(c[i]), A_ub=np.asarray(G[i]), b_ub=np.asarray(h[i]),
+            bounds=(0, None), method="highs",
+        ).fun
+        for i in range(c.shape[0])
+    ])
+
+
+@pytest.mark.parametrize("prefer,tol", [
+    ("simplex", 1e-4), ("ipm", 5e-3), ("ipm+crossover", 1e-4),
+    ("pdhg", 5e-3),
+])
+def test_every_family_solves_correctly(prefer, tol):
+    B, m, n = 6, 16, 24
+    c, G, h = random_inequality_lps(B, m, n, seed=4)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    cfg = None
+    if prefer == "simplex":
+        cfg = SolverConfig(kernels="xla", polish_pivots=4,
+                           pricing="dantzig", refactor_every=128)
+    res, info = solve_batch_auto(c, G, h, accuracy=1e-4, prefer=prefer,
+                                 cfg=cfg)
+    assert info["family"] == prefer
+    assert res.x.shape == (B, n)  # uniform structural-space surface
+    ref = _highs(c, G, h)
+    ok = np.asarray(res.status) == st.OPTIMAL
+    assert ok.sum() >= B - 1
+    gaps = np.abs(np.asarray(res.cost) - ref) / np.maximum(1, np.abs(ref))
+    assert gaps[ok].max() < tol
+
+
+def test_auto_choice_and_summary():
+    from linprog_tpu.router import auto_summary
+
+    B, m, n = 4, 12, 18
+    c, G, h = random_inequality_lps(B, m, n, seed=6)
+    res, info = solve_batch_auto(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), accuracy=1e-6,
+        cfg=SolverConfig(kernels="xla", pricing="dantzig",
+                         refactor_every=128),
+    )
+    assert info["family"] == "simplex"  # m=12, exact
+    s = auto_summary(res, info)
+    assert s["optimal"] == B
+    ref = _highs(c, G, h)
+    gaps = np.abs(np.asarray(res.cost) - ref) / np.maximum(1, np.abs(ref))
+    assert gaps.max() < 1e-4
+
+
+def test_unknown_family_rejected():
+    c, G, h = random_inequality_lps(2, 4, 6, seed=1)
+    with pytest.raises(ValueError):
+        solve_batch_auto(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
+                         prefer="neural")
