@@ -51,8 +51,10 @@ class SolverConfig:
         ``"bland"``   -- first eligible column (anti-cycling; reference default,
         ``primal_solvers.py:135-138``).
         ``"dantzig"`` -- most-negative reduced cost (faster in practice).
-        ``"devex"``   -- reference-weight pricing (mega-kernel path only;
-        other paths fall back to dantzig selection).
+        ``"devex"``   -- reference-weight pricing, implemented on the
+        whole-segment Pallas mega-kernel path only; every other path
+        substitutes dantzig selection and says so with a
+        ``RuntimeWarning`` at dispatch (see ``warn_devex_fallback``).
     refactor_every:
         If > 0 and ``update == "eta"``, recompute ``inv(A[:, basis])`` from
         scratch every ``refactor_every`` pivots to bound eta-product drift.
@@ -173,6 +175,23 @@ class SolverConfig:
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+
+def warn_devex_fallback(path: str) -> None:
+    """Loud substitute notice: ``pricing="devex"`` is only truly implemented
+    on the whole-segment mega-kernel path (reference-weight devex,
+    ``ops/solve_kernel.py``); every other path substitutes Dantzig
+    selection.  Fired at trace/dispatch time (once per compilation) so a
+    user asking for devex is never silently served a different rule."""
+    import warnings
+
+    warnings.warn(
+        f"pricing='devex' is not implemented on the {path} path; "
+        "substituting dantzig selection (reference-weight devex runs on "
+        "the whole-segment Pallas mega-kernel path only)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -294,7 +294,11 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     eligible = (r < -cfg.opt_tol) & allowed
     any_elig = jnp.any(eligible)
 
-    if cfg.pricing in ("dantzig", "devex"):  # devex falls back to dantzig
+    if cfg.pricing == "devex":  # loud substitute (mega-kernel has real devex)
+        from .config import warn_devex_fallback
+
+        warn_devex_fallback("single-instance engine")
+    if cfg.pricing in ("dantzig", "devex"):
         enter = jnp.argmin(jnp.where(eligible, r, jnp.inf))
     else:  # bland: first eligible column
         enter = jnp.argmax(eligible)
@@ -334,7 +338,11 @@ def dual_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Simpl
     n = c.shape[0]
     neg = state.bfs < -cfg.feas_tol
     any_neg = jnp.any(neg)
-    if cfg.pricing == "dantzig":  # most-infeasible row (dual Dantzig)
+    if cfg.pricing == "devex":  # loud substitute (no dual devex anywhere)
+        from .config import warn_devex_fallback
+
+        warn_devex_fallback("dual engine")
+    if cfg.pricing in ("dantzig", "devex"):  # most-infeasible row
         leave = jnp.argmin(state.bfs)
     else:  # bland: first infeasible row (reference rule)
         leave = jnp.argmax(neg)

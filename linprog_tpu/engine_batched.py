@@ -55,10 +55,18 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
     cB = jnp.take_along_axis(c, state.basis, axis=1)
     penalty = batched_in_basis_penalty(state.basis, n, allowed)
 
+    if cfg.pricing == "devex":
+        # this step serves the batched XLA path and the streaming-size
+        # Pallas helpers -- neither implements reference-weight devex
+        # (only the whole-segment mega-kernel does); substitute dantzig
+        # LOUDLY rather than silently serving a different rule
+        from .config import warn_devex_fallback
+
+        warn_devex_fallback("batched step")
     if cfg.kernels == "pallas":
         enter, elig = price_entering(
             cB, state.inv_B, A, c, penalty,
-            dantzig=(cfg.pricing == "dantzig"), opt_tol=cfg.opt_tol,
+            dantzig=(cfg.pricing in ("dantzig", "devex")), opt_tol=cfg.opt_tol,
         )
         eligible = elig > 0
         acol = _gather_cols(A, enter)
@@ -74,7 +82,7 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
     else:
         y = jnp.einsum("bm,bmk->bk", cB, state.inv_B)
         r = c - jnp.einsum("bm,bmn->bn", y, A) + penalty
-        if cfg.pricing == "dantzig":
+        if cfg.pricing in ("dantzig", "devex"):
             enter = jnp.argmin(r, axis=1)
             eligible = jnp.take_along_axis(r, enter[:, None], axis=1)[:, 0] < -cfg.opt_tol
             if bland is not None:  # stalled lanes: first eligible column
@@ -470,6 +478,10 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
     # the kernel works exclusively from A^T (pricing/dual rows as dim-1
     # contractions; the entering column as a free sublane slice)
     AT = jnp.swapaxes(A, 1, 2)
+    if cfg.pricing == "devex":
+        from .config import warn_devex_fallback
+
+        warn_devex_fallback("streaming kernel")
     pricing_code = {"bland": 0, "dantzig": 1, "devex": 1}[cfg.pricing]
     # sectional pricing: primal only (see stream_kernel docstring)
     partial = bool(cfg.partial_pricing and mode == "primal")

@@ -78,3 +78,37 @@ def test_iter_limit_soft_fail_and_resume(problem):
     res = solver.solve(maxiters=100)  # resumes from live state
     assert res.optimum
     assert np.array_equal(np.sort(res.basis), np.sort(problem.optimal_basis))
+
+
+def test_devex_fallback_warns_and_substitutes_dantzig():
+    """pricing="devex" off the mega-kernel path must warn loudly AND
+    behave exactly like dantzig (round-2 VERDICT item 6: previously the
+    single engine silently fell back and the batched XLA path silently
+    ran BLAND)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from linprog_tpu.batch import solve_batch_two_phase
+    from linprog_tpu.config import SolverConfig
+    from linprog_tpu.generators import (
+        random_inequality_lps,
+        to_standard_form_batch,
+    )
+
+    c, G, h = random_inequality_lps(4, 8, 12, seed=2)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    with pytest.warns(RuntimeWarning, match="devex"):
+        res_dv = solve_batch_two_phase(
+            cs, As, bs, 200, 200, SolverConfig(pricing="devex", kernels="xla")
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # dantzig itself must NOT warn
+        res_dz = solve_batch_two_phase(
+            cs, As, bs, 200, 200,
+            SolverConfig(pricing="dantzig", kernels="xla"),
+        )
+    # substituted rule == dantzig, bit-for-bit (same pivot paths)
+    assert np.array_equal(np.asarray(res_dv.basis), np.asarray(res_dz.basis))
+    assert np.array_equal(np.asarray(res_dv.iters), np.asarray(res_dz.iters))
