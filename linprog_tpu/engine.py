@@ -290,8 +290,15 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     restricted-primal of the primal-dual algorithm and to lock out
     artificials in composite Phase II).
     """
+    # optimality tolerance scaled by the cost magnitude: the reference's
+    # check is np.isclose (rtol 1e-5 RELATIVE to the reduced-cost magnitude,
+    # reference primal_solvers.py:140-142); an absolute tol on |c| ~ 1e6
+    # data would churn forever on pricing noise the reference calls optimal.
+    # max(1, |c|_inf) preserves the absolute behavior on O(1) data (every
+    # pivot-path parity test) and the reference semantics on scaled data.
     r = reduced_costs(c, A, state)
-    eligible = (r < -cfg.opt_tol) & allowed
+    tol = cfg.opt_tol * jnp.maximum(1.0, jnp.max(jnp.abs(c)))
+    eligible = (r < -tol) & allowed
     any_elig = jnp.any(eligible)
 
     if cfg.pricing == "devex":  # loud substitute (mega-kernel has real devex)

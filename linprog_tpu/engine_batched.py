@@ -82,14 +82,21 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
     else:
         y = jnp.einsum("bm,bmk->bk", cB, state.inv_B)
         r = c - jnp.einsum("bm,bmn->bn", y, A) + penalty
+        # per-lane scaled optimality tolerance (reference np.isclose rtol
+        # semantics on badly scaled costs; see engine.primal_step)
+        tol = (cfg.opt_tol * jnp.maximum(1.0, jnp.max(jnp.abs(c), axis=1)))[
+            :, None
+        ]
         if cfg.pricing in ("dantzig", "devex"):
             enter = jnp.argmin(r, axis=1)
-            eligible = jnp.take_along_axis(r, enter[:, None], axis=1)[:, 0] < -cfg.opt_tol
+            eligible = (
+                jnp.take_along_axis(r, enter[:, None], axis=1) < -tol
+            )[:, 0]
             if bland is not None:  # stalled lanes: first eligible column
-                enter_b = jnp.argmax(r < -cfg.opt_tol, axis=1)
+                enter_b = jnp.argmax(r < -tol, axis=1)
                 enter = jnp.where(bland, enter_b, enter)
         else:
-            neg = r < -cfg.opt_tol
+            neg = r < -tol
             enter = jnp.argmax(neg, axis=1)
             eligible = jnp.take_along_axis(neg, enter[:, None], axis=1)[:, 0]
         acol = _gather_cols(A, enter)

@@ -66,9 +66,16 @@ def _device_primal_dual(c, A, b, M, maxiters1, maxiters2, cfg: SolverConfig):
     art_allowed = jnp.ones((m,), bool)
     cost_tol = cfg.feas_tol * jnp.maximum(1.0, jnp.max(jnp.abs(b_x))) * m
 
+    # admissibility tolerance derived from cfg (was hardcoded 1e-7 + 1e-5|c|
+    # -- the one place the config discipline slipped): with the default
+    # opt_tol = 1e-6 these resolve to the same atol/rtol pair the reference's
+    # np.isclose uses at special_solvers.py:405 (atol 1e-8-ish, rtol 1e-5)
+    adm_atol = 0.1 * cfg.opt_tol
+    adm_rtol = 10.0 * cfg.opt_tol
+
     def inner(y):
         admissible = (
-            jnp.abs(y @ A_x - c_x) <= 1e-7 + 1e-5 * jnp.abs(c_x)
+            jnp.abs(y @ A_x - c_x) <= adm_atol + adm_rtol * jnp.abs(c_x)
         )
         allowed = jnp.concatenate([admissible, art_allowed])
         state = engine.artificial_state(b_x, n)

@@ -154,3 +154,92 @@ def test_pdhg_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(mid.x), np.asarray(restored.x))
     np.testing.assert_array_equal(np.asarray(mid.omega),
                                   np.asarray(restored.omega))
+
+
+# ---------------------------------------------------------------------------
+# Race-detection analogue (SURVEY section 5): determinism across lane
+# permutations + a jax_debug_nans test mode.  A data race has no direct
+# analogue in SPMD/XLA; what CAN go wrong is per-lane results depending on
+# batch placement (a reduction leaking across lanes) or NaNs flowing
+# through "frozen" lanes into live ones.
+# ---------------------------------------------------------------------------
+
+
+def test_lane_permutation_determinism():
+    """Solving a permuted batch must give the permuted results, bit-exact:
+    no cross-lane leakage anywhere in the two-phase pipeline."""
+    B, m, n = 8, 12, 16
+    c, G, h = random_inequality_lps(B, m, n, seed=23)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
+    cfg = SolverConfig(kernels="xla")
+    res = solve_batch_two_phase(cs, As, bs, 400, 400, cfg)
+
+    perm = np.random.default_rng(0).permutation(B)
+    res_p = solve_batch_two_phase(cs[perm], As[perm], bs[perm], 400, 400, cfg)
+
+    np.testing.assert_array_equal(
+        np.asarray(res.cost)[perm], np.asarray(res_p.cost)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.basis)[perm], np.asarray(res_p.basis)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.iters)[perm], np.asarray(res_p.iters)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.status)[perm], np.asarray(res_p.status)
+    )
+
+
+def test_debug_nans_mode_clean_on_healthy_batch():
+    """The SURVEY section-5 sanitizer mode: under jax_debug_nans the whole
+    two-phase pipeline must run NaN-free on healthy inputs (frozen-lane
+    arithmetic must never surface NaN into outputs)."""
+    import jax
+
+    B, m, n = 4, 8, 12
+    c, G, h = random_inequality_lps(B, m, n, seed=29)
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        res = solve_batch_two_phase(
+            jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 300, 300,
+            SolverConfig(kernels="xla", polish_pivots=4),
+        )
+        assert np.isfinite(np.asarray(res.cost)).all()
+        assert (np.asarray(res.status) == st.OPTIMAL).all()
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_scaled_cost_optimality_tolerance():
+    """|c| ~ 1e6 data: the reference's np.isclose optimality test is
+    RELATIVE; an absolute 1e-6 tol churns on pricing noise forever.  Both
+    the single-instance engine and the batched XLA path must terminate
+    OPTIMAL with the correct relative objective."""
+    from scipy.optimize import linprog as scipy_linprog
+
+    from linprog_tpu import SimplexSolver
+
+    B, m, n = 4, 10, 14
+    c, G, h = random_inequality_lps(B, m, n, seed=31)
+    c = c * 1e6  # badly scaled costs
+    ref = [
+        scipy_linprog(c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None),
+                      method="highs").fun
+        for i in range(B)
+    ]
+    # batched XLA path
+    cs, As, bs = to_standard_form_batch(c, G, h)
+    res = solve_batch_two_phase(
+        jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs), 500, 500,
+        SolverConfig(kernels="xla"),
+    )
+    assert (np.asarray(res.status) == st.OPTIMAL).all()
+    gaps = np.abs(np.asarray(res.cost) - ref) / np.maximum(1, np.abs(ref))
+    assert gaps.max() < 1e-4
+    # single-instance general-form driver
+    r0 = SimplexSolver(c[0], G=G[0], h=h[0]).solve(500, 500)
+    assert r0.optimum
+    assert abs(r0.cost - ref[0]) / max(1, abs(ref[0])) < 1e-4
