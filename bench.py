@@ -122,6 +122,124 @@ def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
     }
 
 
+def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
+    """Headline: the measured-fastest EXACT pipeline at m=n=256.
+
+    Round 3 moved the exact-accuracy frontier: the inverse-factor IPM +
+    dual-then-primal crossover (+ two-phase simplex fallback for any
+    uncrossed lane) measures 631 LPs/s at B=1024 with 1024/1024 crossed
+    and ~1e-7 HiGHS gaps, vs 570 LPs/s (gap 3.1e-6) for the pure simplex
+    pipeline the headline used through round 2 (kept as the
+    `simplex_m256` extra).  Same workload, same (better) accuracy class,
+    same metric semantics."""
+    import jax.numpy as jnp
+
+    from linprog_tpu import status as stt
+    from linprog_tpu.batch import solve_batch_two_phase
+    from linprog_tpu.config import tuned_config
+    from linprog_tpu.crossover import ipm_crossover_batch_canonical
+    from linprog_tpu.generators import (
+        device_inequality_lps,
+        device_standard_form_batch,
+    )
+
+    cfg = tuned_config(m)
+
+    @jax.jit
+    def gen(key):
+        return device_inequality_lps(key, chunk, m, n)
+
+    def solve(key):
+        c, G, h = gen(key)
+        res, crossed = ipm_crossover_batch_canonical(
+            c, G, h, crossover_maxiters=512, cfg=cfg
+        )
+        return (c, G, h), res, crossed
+
+    keys = jax.random.split(jax.random.PRNGKey(0), chunks)
+
+    # warm-up/compile; also pre-warm the 8-lane two-phase fallback bucket
+    # so a rare uncrossed lane in a later chunk cannot compile mid-timing
+    (c0, G0, h0), res0, crossed0 = solve(keys[0])
+    first_costs = np.asarray(res0.cost)
+    cs8, As8, bs8 = device_standard_form_batch(c0[:8], G0[:8], h0[:8])
+    solve_batch_two_phase(cs8, As8, bs8, 4 * m, 4 * m, cfg)
+
+    t0 = time.time()
+    # async dispatch chain: all chunks queue on the device before the
+    # first host readback (same pipelining as the simplex run_size)
+    results = [solve(k) for k in keys]
+    total_iters = 0
+    agg = {"optimal": 0, "infeasible": 0, "unbounded": 0, "iter_limit": 0,
+           "numerical_error": 0}
+    crossed_total = 0
+    fallback_total = 0
+    for (c, G, h), res, crossed in results:
+        crossed_np = np.asarray(crossed)
+        s = np.array(res.status)
+        bad = np.flatnonzero(~crossed_np)
+        if bad.size:  # exact two-phase fallback for uncrossed lanes
+            bucket = min(max(8, 1 << int(bad.size - 1).bit_length()), chunk)
+            idx = np.resize(bad, bucket)
+            csf, Asf, bsf = device_standard_form_batch(
+                jnp.take(c, idx, axis=0), jnp.take(G, idx, axis=0),
+                jnp.take(h, idx, axis=0),
+            )
+            sub = solve_batch_two_phase(csf, Asf, bsf, 4 * m, 4 * m, cfg)
+            sub_s = np.asarray(sub.status)
+            for kk, lane in enumerate(idx):
+                s[lane] = sub_s[kk]
+            fallback_total += int(bad.size)
+        agg["optimal"] += int((s == stt.OPTIMAL).sum())
+        agg["infeasible"] += int((s == stt.PRIMAL_INFEASIBLE).sum())
+        agg["unbounded"] += int((s == stt.PRIMAL_UNBOUNDED).sum())
+        agg["iter_limit"] += int((s == stt.ITER_LIMIT).sum())
+        agg["numerical_error"] += int((s == stt.NUMERICAL_ERROR).sum())
+        total_iters += int(np.asarray(res.iters).sum())
+        crossed_total += int(crossed_np.sum())
+    wall = time.time() - t0
+    total_lps = chunks * chunk
+    lps_per_sec = total_lps / wall
+
+    try:
+        from scipy.optimize import linprog as scipy_linprog
+
+        gaps, times = [], []
+        c_s = np.asarray(c0[:highs_samples])
+        G_s = np.asarray(G0[:highs_samples])
+        h_s = np.asarray(h0[:highs_samples])
+        for i in range(highs_samples):
+            t1 = time.time()
+            ref = scipy_linprog(c_s[i], A_ub=G_s[i], b_ub=h_s[i],
+                                bounds=(0, None), method="highs")
+            times.append(time.time() - t1)
+            if ref.status == 0:
+                gaps.append(
+                    abs(float(first_costs[i]) - ref.fun)
+                    / max(1.0, abs(ref.fun))
+                )
+        highs_lps = 1.0 / float(np.median(times))
+        max_gap = max(gaps) if gaps else float("nan")
+    except Exception:
+        highs_lps = float("nan")
+        max_gap = float("nan")
+
+    return {
+        "lps_per_sec": round(lps_per_sec, 2),
+        "vs_baseline": round(lps_per_sec / highs_lps, 2)
+        if np.isfinite(highs_lps) else float("nan"),
+        "iters_per_sec": round(total_iters / wall, 1),
+        "total_lps": total_lps,
+        "wall_sec": round(wall, 3),
+        "highs_single_core_lps_per_sec": round(highs_lps, 4),
+        "max_rel_gap_vs_highs": float(f"{max_gap:.3e}"),
+        "lane_status": agg,
+        "crossed": crossed_total,
+        "fallback": fallback_total,
+        "family": "ipm+crossover(+simplex fallback)",
+    }
+
+
 def run_bounded(jax, m, n, chunk, maxiters, cfg, highs_samples):
     """Bounded-variable engine datapoint (VERDICT: previously unbenchmarked)."""
     import jax.numpy as jnp
@@ -313,7 +431,7 @@ def run_ipm_crossover(jax, m, n, chunk, highs_samples=2):
     repairs primal-infeasible basis guesses (crossover.py).  Reports the
     crossed-lane count and the HiGHS-checked objective gap of the exact
     vertices."""
-    from linprog_tpu.config import SolverConfig
+    from linprog_tpu.config import SolverConfig, tuned_config
     from linprog_tpu.crossover import ipm_crossover_batch_canonical
     from linprog_tpu.generators import device_inequality_lps
 
@@ -321,11 +439,15 @@ def run_ipm_crossover(jax, m, n, chunk, highs_samples=2):
     # larger m: the f32 basis guess degrades with cond and some lanes need
     # >1500 cleanup pivots, with tighter refactorization against eta drift
     # (measured m=1024: 5/8 crossed at seg=512/budget 512 -> 8/8 at
-    # seg=128/budget 2048)
-    seg = 512 if m <= 512 else 128
-    budget = 512 if m <= 512 else 2048
-    cfg = SolverConfig(pricing="dantzig", refactor_every=seg,
-                       polish_pivots=8)
+    # seg=128/budget 2048).  m <= 512 cleans up in the Pallas mega-kernel
+    # (measured m=256: 643 vs 452 LPs/s over the XLA cleanup path).
+    if m <= 512:
+        cfg = tuned_config(m)
+        budget = 512
+    else:
+        cfg = SolverConfig(pricing="dantzig", refactor_every=128,
+                           polish_pivots=8)
+        budget = 2048
 
     def run():
         return ipm_crossover_batch_canonical(
@@ -427,10 +549,20 @@ def main():
     # -> 537 (seg=512) -> 589 (packed selection))
     cfg = tuned_config(args.m)
 
-    head = run_size(jax, args.m, args.n, args.chunk, args.chunks,
-                    args.maxiters, cfg, args.highs_samples)
-
     extras = {}
+    if not args.quick and args.m == 256 and args.n == 256:
+        # round-3 headline: the exact router pipeline (IPM -> crossover ->
+        # simplex fallback) beat the pure simplex two-phase at the same
+        # workload and a BETTER accuracy class (631 vs 570 LPs/s, gaps
+        # ~1e-7 vs 3.1e-6).  The simplex pipeline stays as an extra.
+        head = run_exact_head(jax, args.m, args.n, args.chunk, args.chunks,
+                              args.highs_samples)
+        extras["simplex_m256"] = run_size(
+            jax, 256, 256, args.chunk, 2, args.maxiters, cfg, 4
+        )
+    else:
+        head = run_size(jax, args.m, args.n, args.chunk, args.chunks,
+                        args.maxiters, cfg, args.highs_samples)
     # extra size datapoints: mega-kernel at m=512 (raised VMEM cap),
     # streaming kernel (resident variant) at m=1024
     # chunk/seg tuned per size on v5e: m=512 gains +23% at chunk=256
@@ -492,7 +624,9 @@ def main():
         "value": head["lps_per_sec"],
         "unit": "LPs/s/chip",
         "vs_baseline": head["vs_baseline"],
-        "pivots_per_sec_per_chip": head["pivots_per_sec"],
+        "pivots_per_sec_per_chip": head.get(
+            "pivots_per_sec", head.get("iters_per_sec")
+        ),
         "total_lps": head["total_lps"],
         "wall_sec": head["wall_sec"],
         "highs_single_core_lps_per_sec": head["highs_single_core_lps_per_sec"],
@@ -500,6 +634,9 @@ def main():
         "lane_status": head["lane_status"],
         "device": str(jax.devices()[0]),
     }
+    for k in ("family", "crossed", "fallback"):
+        if k in head:
+            out[k] = head[k]
     for k, v in extras.items():
         out[k] = v
     print(json.dumps(out))

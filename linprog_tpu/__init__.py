@@ -41,7 +41,7 @@ from .ipm import (
 )
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
-from .router import choose_family, solve_batch_auto
+from .router import choose_family, solve_batch_auto, solve_batch_exact
 from .presolve_host import presolve_problem, solve_with_presolve
 from .ranging import RangingResult, ranging, ranging_batch
 from .config import DEFAULT_CONFIG, FAST_CONFIG, SolverConfig, tuned_config
@@ -74,6 +74,7 @@ __all__ = [
     "ipm_solve_batch_standard",
     "ipm_solve_batch_canonical",
     "solve_batch_auto",
+    "solve_batch_exact",
     "choose_family",
     "SimplexSolver",
     "SolverConfig",

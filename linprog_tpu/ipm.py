@@ -479,7 +479,7 @@ def ipm_state_to_result(c, state: IPMState) -> BatchResult:
 
 def ipm_solve_batch_canonical(c, G, h, cfg: IPMConfig = DEFAULT_IPM_CONFIG,
                               recover: bool = False, recover_cfg=None,
-                              recover_maxiters: int = 512):
+                              recover_maxiters: Optional[int] = None):
     """Batched IPM on canonical-form LPs ``min c'x, Gx <= h, x >= 0``.
 
     ``c[B,n], G[B,m,n], h[B,m]``.  Slack columns are appended on device;
@@ -521,7 +521,7 @@ def _ipm_canonical_jit(cs, G, h, cfg: IPMConfig):
 
 
 def _recover_stragglers(c, G, h, res: BatchResult, recover_cfg,
-                        maxiters: int) -> BatchResult:
+                        maxiters: Optional[int]) -> BatchResult:
     """Route non-OPTIMAL IPM lanes through the simplex crossover (host glue).
 
     Gathers straggler lanes, pads them to a power-of-two bucket (stable
@@ -540,9 +540,18 @@ def _recover_stragglers(c, G, h, res: BatchResult, recover_cfg,
     bucket = max(8, 1 << int(bad.size - 1).bit_length())
     bucket = min(bucket, B)
     idx = np.resize(bad, bucket)
-    recover_cfg = recover_cfg or SolverConfig(
-        pricing="dantzig", refactor_every=128, polish_pivots=8
-    )
+    if recover_cfg is None:
+        from .config import tuned_config
+
+        # the Pallas mega-kernel cleans up the small-bucket crossover far
+        # faster than the XLA batched path at tiny B (per-iteration bound);
+        # larger m needs the tight-refactor + big-budget settings measured
+        # for the crossover (see bench.run_ipm_crossover)
+        recover_cfg = tuned_config(m) if m <= 512 else SolverConfig(
+            pricing="dantzig", refactor_every=128, polish_pivots=8
+        )
+    if maxiters is None:
+        maxiters = 512 if m <= 512 else 2048
     sub, crossed = crossover_batch_canonical(
         jnp.take(c, idx, axis=0),
         jnp.take(G, idx, axis=0),

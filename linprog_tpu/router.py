@@ -19,9 +19,12 @@ the user; production users want the framework to route.  Rules encoded
 here:
 
 * **exact accuracy** (``accuracy <= 1e-5``: vertex + basis certificate
-  class): simplex two-phase up to m ~= 384 (it is pivot-exact and its
-  mega-kernel peaks there), IPM -> crossover beyond (Newton steps get the
-  neighborhood, the dual-then-primal cleanup snaps to the exact vertex).
+  class): simplex two-phase up to m ~= 192 (measured m=128: simplex 2083
+  vs IPM->crossover 1596), IPM -> crossover beyond -- with the
+  inverse-factor IPM it wins from m = 256 up (measured B=1024 m=256:
+  631 LPs/s 1024/1024 crossed vs simplex 570; m=512: 229 vs 77).  Lanes
+  that fail to cross (rare) fall back to an exact two-phase simplex
+  solve, so the family's answers are always vertex-exact.
 * **moderate accuracy** (``accuracy > 1e-5``): simplex below m ~= 192
   (tiny LPs amortize nothing), batched IPM with the crossover straggler
   backstop everywhere else.
@@ -48,10 +51,12 @@ from .results import BatchResult
 _FAMILIES = ("simplex", "ipm", "ipm+crossover", "pdhg")
 
 # measured regime boundaries (see module docstring)
-_EXACT_SIMPLEX_MAX_M = 384
+_EXACT_SIMPLEX_MAX_M = 192
 _MODERATE_SIMPLEX_MAX_M = 192
 _PDHG_MIN_M = 4096
 _EXACT_EPS = 1e-5
+# the Pallas mega-kernel (crossover cleanup phases) fits to m ~= 512
+_XOVER_PALLAS_MAX_M = 512
 
 
 def choose_family(m: int, accuracy: float) -> str:
@@ -112,15 +117,8 @@ def solve_batch_auto(c, G, h, accuracy: float = 1e-6,
         return res, info
 
     if family == "ipm+crossover":
-        from .crossover import ipm_crossover_batch_canonical
-
-        xcfg = cfg or SolverConfig(
-            pricing="dantzig", refactor_every=512, polish_pivots=8
-        )
-        res, crossed = ipm_crossover_batch_canonical(
-            c, G, h, crossover_maxiters=maxiters or 512, cfg=xcfg
-        )
-        info["crossed"] = int(jnp.sum(crossed))
+        res, xinfo = solve_batch_exact(c, G, h, cfg=cfg, maxiters=maxiters)
+        info.update(xinfo)
         return res, info
 
     # pdhg
@@ -140,6 +138,102 @@ def solve_batch_auto(c, G, h, accuracy: float = 1e-6,
     )
     info["eps_rel"] = pcfg.eps_rel
     return res, info
+
+
+def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
+                      maxiters: Optional[int] = None):
+    """Exact vertices at Newton-step speed: IPM -> crossover -> fallback.
+
+    The fastest measured EXACT pipeline for ``m >= 256``: batched
+    inverse-factor Mehrotra IPM to the f32 KKT floor, the dual-then-primal
+    crossover cleanup to an exact verified vertex, and -- for the rare
+    lanes that fail to cross -- a gathered two-phase simplex fallback so
+    every returned OPTIMAL is vertex-exact with a basis certificate.
+    Measured v5e (B=1024, m=n=256, tuned config): 631 LPs/s with
+    1024/1024 crossed, max HiGHS gap ~1e-7 -- vs 570 LPs/s for the pure
+    simplex pipeline at a 3.1e-6 gap.
+
+    Returns ``(BatchResult, info)`` with ``x`` over the structural
+    columns; ``info["crossed"]``/``info["fallback"]`` record the path
+    composition.
+    """
+    import numpy as np
+
+    from .crossover import ipm_crossover_batch_canonical
+
+    B, m, n = G.shape
+    if cfg is None:
+        if m <= _XOVER_PALLAS_MAX_M:
+            cfg = tuned_config(m)
+            budget = maxiters or 512
+        else:
+            # large m: tighter refactorization + bigger pivot budget
+            # (measured m=1024: 5/8 crossed at seg=512/budget 512 ->
+            # 8/8 at seg=128/budget 2048)
+            cfg = SolverConfig(pricing="dantzig", refactor_every=128,
+                               polish_pivots=8)
+            budget = maxiters or 2048
+    else:
+        budget = maxiters or (512 if m <= _XOVER_PALLAS_MAX_M else 2048)
+
+    res, crossed = ipm_crossover_batch_canonical(
+        c, G, h, crossover_maxiters=budget, cfg=cfg
+    )
+    crossed_np = np.asarray(crossed)
+    info = {"crossed": int(crossed_np.sum()), "fallback": 0}
+    bad = np.flatnonzero(~crossed_np)
+    if bad.size == 0:
+        return res, info
+
+    # exact fallback: gather uncrossed lanes into a power-of-two bucket
+    # and run the pivot-exact two-phase simplex pipeline on them
+    from .batch import solve_batch_two_phase
+    from .generators import device_standard_form_batch
+
+    bucket = min(max(8, 1 << int(bad.size - 1).bit_length()), B)
+    idx = np.resize(bad, bucket)
+    cs, As, bs = device_standard_form_batch(
+        jnp.take(c, idx, axis=0), jnp.take(G, idx, axis=0),
+        jnp.take(h, idx, axis=0),
+    )
+    it = 4 * m if m >= 256 else 2000
+    sub = solve_batch_two_phase(cs, As, bs, it, it, cfg)
+    info["fallback"] = int(bad.size)
+
+    x = np.array(res.x)
+    basis = np.array(res.basis)
+    cost = np.array(res.cost)
+    iters = np.array(res.iters)
+    status = np.array(res.status)
+    y = None if res.y is None else np.array(res.y)
+    sub_x = np.asarray(sub.x)
+    sub_basis = np.asarray(sub.basis)
+    sub_cost = np.asarray(sub.cost)
+    sub_iters = np.asarray(sub.iters)
+    sub_status = np.asarray(sub.status)
+    # two-phase duals are in the SIGN-FLIPPED row space (the standard-form
+    # conversion flips h<0 rows); the crossover/IPM convention is unflipped
+    flip = np.asarray(jnp.take(h, idx, axis=0)) < 0
+    sub_y = np.where(flip, -np.asarray(sub.y), np.asarray(sub.y))
+    for k, lane in enumerate(idx[:bucket]):
+        if lane not in bad:
+            continue
+        x[lane] = sub_x[k, : x.shape[1]]
+        basis[lane] = sub_basis[k, : basis.shape[1]]
+        cost[lane] = sub_cost[k]
+        iters[lane] = iters[lane] + sub_iters[k]
+        status[lane] = sub_status[k]
+        if y is not None:
+            y[lane] = sub_y[k, : y.shape[1]]
+    return (
+        BatchResult(
+            x=jnp.asarray(x), basis=jnp.asarray(basis),
+            cost=jnp.asarray(cost), iters=jnp.asarray(iters),
+            status=jnp.asarray(status),
+            y=None if y is None else jnp.asarray(y),
+        ),
+        info,
+    )
 
 
 def auto_summary(res: BatchResult, info: dict) -> dict:

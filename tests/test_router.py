@@ -17,9 +17,10 @@ from linprog_tpu.generators import random_inequality_lps
 
 
 def test_routing_rules_match_measured_table():
-    # exact accuracy: simplex small, ipm+crossover large
+    # exact accuracy: simplex small, ipm+crossover from m=256 up
+    # (measured v5e: m=128 simplex 2083 vs xover 1596; m=256 570 vs 631)
     assert choose_family(128, 1e-6) == "simplex"
-    assert choose_family(256, 1e-6) == "simplex"
+    assert choose_family(256, 1e-6) == "ipm+crossover"
     assert choose_family(512, 1e-6) == "ipm+crossover"
     assert choose_family(2048, 1e-6) == "ipm+crossover"
     # moderate accuracy: ipm from m ~ 256 up
@@ -87,3 +88,28 @@ def test_unknown_family_rejected():
     with pytest.raises(ValueError):
         solve_batch_auto(jnp.asarray(c), jnp.asarray(G), jnp.asarray(h),
                          prefer="neural")
+
+
+def test_solve_batch_exact_fallback_guarantees_vertices():
+    """solve_batch_exact: lanes that fail to cross (forced here with a
+    1-pivot crossover budget) must be repaired by the two-phase simplex
+    fallback -- every OPTIMAL answer is vertex-exact."""
+    from linprog_tpu import solve_batch_exact
+
+    B, m, n = 6, 16, 24
+    c, G, h = random_inequality_lps(B, m, n, seed=8)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    cfg = SolverConfig(kernels="xla", pricing="dantzig", refactor_every=128,
+                       polish_pivots=4)
+    res, info = solve_batch_exact(c, G, h, cfg=cfg, maxiters=1)
+    assert info["fallback"] > 0  # the tiny budget forced the fallback
+    assert (np.asarray(res.status) == st.OPTIMAL).all()
+    ref = _highs(c, G, h)
+    gaps = np.abs(np.asarray(res.cost) - ref) / np.maximum(1, np.abs(ref))
+    assert gaps.max() < 1e-4
+
+    # and with a real budget the crossover handles (nearly) everything
+    res2, info2 = solve_batch_exact(c, G, h, cfg=cfg)
+    gaps2 = np.abs(np.asarray(res2.cost) - ref) / np.maximum(1, np.abs(ref))
+    assert gaps2.max() < 1e-4
+    assert info2["crossed"] + info2["fallback"] >= B - 1
