@@ -173,7 +173,7 @@ def _chol_solve(W, r):
     return jnp.einsum("bij,bi->bj", W, z, precision=_HIGHEST)
 
 
-def block_cholesky_inverse(M, blk: int = 32):
+def block_cholesky_inverse(M, blk: int = 32, use_panel_kernel: bool = False):
     """``W = L^{-1}`` of the Cholesky factor ``M = L L'`` -- all matmuls.
 
     The TPU-shaped rewrite of the two ops that dominated the IPM Newton
@@ -200,6 +200,12 @@ def block_cholesky_inverse(M, blk: int = 32):
     """
     m = M.shape[-1]
     if m <= blk:
+        if use_panel_kernel and M.dtype == jnp.float32:
+            # fused Pallas panel (TPU): one unrolled elimination pass
+            # instead of XLA's ~1.5 ms dispatch-bound chol + trsm pair
+            from .ops.cholinv_kernel import panel_cholinv
+
+            return panel_cholinv(M)
         L = jnp.linalg.cholesky(M)
         eye = jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), L.shape)
         return lax.linalg.triangular_solve(
@@ -209,10 +215,10 @@ def block_cholesky_inverse(M, blk: int = 32):
     A11 = M[..., :k, :k]
     A21 = M[..., k:, :k]
     A22 = M[..., k:, k:]
-    W11 = block_cholesky_inverse(A11, blk)
+    W11 = block_cholesky_inverse(A11, blk, use_panel_kernel)
     L21 = jnp.matmul(A21, jnp.swapaxes(W11, -1, -2), precision=_HIGHEST)
     S = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2), precision=_HIGHEST)
-    W22 = block_cholesky_inverse(S, blk)
+    W22 = block_cholesky_inverse(S, blk, use_panel_kernel)
     W21 = -jnp.matmul(
         W22, jnp.matmul(L21, W11, precision=_HIGHEST), precision=_HIGHEST
     )
@@ -223,6 +229,12 @@ def block_cholesky_inverse(M, blk: int = 32):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _use_panel_kernel() -> bool:
+    """Trace-time gate for the Pallas panel base case (TPU + f32 only;
+    interpret-mode Pallas is far slower than lax on CPU)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _normal_factor(op, d, reg):
     """Inverse Cholesky factor ``W = L^{-1}`` of
     ``A diag(d) A' + reg*mean(diag)*I`` (batched, matmul-built)."""
@@ -231,7 +243,7 @@ def _normal_factor(op, d, reg):
     diag_mean = jnp.trace(M, axis1=1, axis2=2) / m  # [B]
     eye = jnp.eye(m, dtype=M.dtype)
     M = M + (reg * (1.0 + diag_mean))[:, None, None] * eye
-    return block_cholesky_inverse(M)
+    return block_cholesky_inverse(M, use_panel_kernel=_use_panel_kernel())
 
 
 def _step_to_boundary(v, dv):
