@@ -55,16 +55,23 @@ def _split(x):
 
 
 def _kahan_sum_chunks(P):
-    """Compensated sum of ``P[B, K, n]`` over K -> ``[B, n]``."""
+    """Compensated sum of ``P[B, K, n]`` over K -> ``[B, n]``.
+
+    Sum2 (Ogita-Rump-Oishi): a branchless Knuth TwoSum per term with the
+    EXACT rounding errors accumulated separately.  Plain Kahan's absolute
+    error is ``~2 eps * sum|terms|`` -- measured ~3e-6 on residual chains
+    whose terms sum to ~100 but whose true value is ~1e-6; Sum2's is
+    ``eps * |true sum|`` plus an O(K^2 eps^2) tail."""
     K = P.shape[1]
     s = P[:, 0]
     comp = jnp.zeros_like(s)
     for k in range(1, K):
-        yv = P[:, k] - comp
-        t = s + yv
-        comp = (t - s) - yv
+        x = P[:, k]
+        t = s + x
+        z = t - s
+        comp = comp + ((s - (t - z)) + (x - z))
         s = t
-    return s
+    return s + comp
 
 
 def dd_rowmat(y, M, chunk: int = 8):
@@ -90,14 +97,92 @@ def dd_rowmat(y, M, chunk: int = 8):
         return jnp.einsum("bkc,bkcn->bkn", u, V, precision=_HIGHEST)
 
     # hi*hi products are exact; cross terms are 2^-12 smaller (their own
-    # rounding is below 2^-36 of the result); lo*lo is below 2^-24 -- drop.
-    P = part(yr(yh), Mr(Mh)) + part(yr(yh), Mr(Ml)) + part(yr(yl), Mr(Mh))
+    # rounding is below 2^-36 of the result).  lo*lo is 2^-24 of the term
+    # magnitudes -- ORIGINALLY dropped, but over m = 1024 near-cancelling
+    # terms (a residual b - Bx at a solved system) the dropped parts sum
+    # to ~1e-6 ABSOLUTE, which became the measured refinement floor and
+    # swamped the duality objective correction; one more single-pass
+    # product keeps the result in the true eps^2 class.
+    P = (part(yr(yh), Mr(Mh)) + part(yr(yh), Mr(Ml))
+         + part(yr(yl), Mr(Mh)) + part(yr(yl), Mr(Ml)))
     return _kahan_sum_chunks(P)
 
 
+def _dd_chunk_products(y, M, chunk: int):
+    """Per-chunk double-float partial sums of ``y[B, m] @ M[B, m, n]``.
+
+    Every product carries its exact f32 error term (Dekker TwoProd via
+    the 12-bit splits) and the within-chunk accumulation is a TwoSum
+    chain, so the returned ``(s[B, K, n], e[B, K, n])`` pair represents
+    each chunk's sum to ~eps^2: ``sum == s + e`` with ``|e| <= eps |s|``.
+    (:func:`dd_rowmat` sums its split products in plain f32 instead,
+    which leaves an ``eps * sum|terms|`` absolute floor -- measured
+    ~2-5e-6 on m=1024 residuals whose true value is ~1e-6.)
+    """
+    B, m, n = M.shape
+    pad = (-m) % chunk
+    if pad:
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        M = jnp.pad(M, ((0, 0), (0, pad), (0, 0)))
+        m = m + pad
+    K = m // chunk
+    yh, yl = _split(y)
+    Mh, Ml = _split(M)
+    yr = y.reshape(B, K, chunk)
+    yhr = yh.reshape(B, K, chunk)
+    ylr = yl.reshape(B, K, chunk)
+    Mr = M.reshape(B, K, chunk, n)
+    Mhr = Mh.reshape(B, K, chunk, n)
+    Mlr = Ml.reshape(B, K, chunk, n)
+
+    s = jnp.zeros((B, K, n), M.dtype)
+    e = jnp.zeros_like(s)
+    for c in range(chunk):
+        yc = yr[:, :, c, None]
+        p = yc * Mr[:, :, c, :]  # rounded product
+        # TwoProd: exact error of p from the 12-bit splits
+        pe = (
+            (yhr[:, :, c, None] * Mhr[:, :, c, :] - p)
+            + yhr[:, :, c, None] * Mlr[:, :, c, :]
+            + ylr[:, :, c, None] * Mhr[:, :, c, :]
+        ) + ylr[:, :, c, None] * Mlr[:, :, c, :]
+        # TwoSum(s, p)
+        t = s + p
+        z = t - s
+        err = (s - (t - z)) + (p - z)
+        s = t
+        e = e + (pe + err)
+    return s, e
+
+
+def dd_rowmat_dd(y, M, chunk: int = 8):
+    """Double-float ``y[B, m] @ M[B, m, n] -> [B, n]`` (TwoProd+TwoSum)."""
+    s, e = _dd_chunk_products(y, M, chunk)
+    return _kahan_sum_chunks(jnp.concatenate([s, e], axis=1))
+
+
+def dd_residual_rowmat(bvec, y, M, chunk: int = 8):
+    """Double-float residual ``bvec[B, n] - y[B, m] @ M[B, m, n]``.
+
+    The whole point vs ``bvec - dd_rowmat_dd(...)``: the FINAL subtraction
+    would round at ``eps * |bvec|`` per entry (measured 2-5e-6 at |b|~30,
+    i.e. the size of the residual itself), so ``bvec`` is folded into the
+    compensated Kahan chain instead -- the result is accurate to
+    ``~eps * |residual|``.
+    """
+    s, e = _dd_chunk_products(y, M, chunk)
+    P = jnp.concatenate([bvec[:, None, :], -s, -e], axis=1)
+    return _kahan_sum_chunks(P)
+
+
+def dd_residual(bvec, M, x, chunk: int = 8):
+    """Double-float residual ``bvec[B, m] - M[B, m, k] @ x[B, k]``."""
+    return dd_residual_rowmat(bvec, x, jnp.swapaxes(M, 1, 2), chunk=chunk)
+
+
 def dd_matvec(M, x, chunk: int = 8):
-    """High-accuracy ``M[B, m, k] @ x[B, k] -> [B, m]`` (via dd_rowmat)."""
-    return dd_rowmat(x, jnp.swapaxes(M, 1, 2), chunk=chunk)
+    """Double-float ``M[B, m, k] @ x[B, k] -> [B, m]``."""
+    return dd_rowmat_dd(x, jnp.swapaxes(M, 1, 2), chunk=chunk)
 
 
 def dd_dot(u, v, chunk: int = 8):
@@ -113,7 +198,7 @@ def refine_duals(cB, Bmat, inv_B, steps: int = 2):
     """
     y = jnp.einsum("bm,bmk->bk", cB, inv_B, precision=_HIGHEST)
     for _ in range(steps):
-        s = cB - dd_rowmat(y, Bmat)
+        s = dd_residual_rowmat(cB, y, Bmat)  # double-float residual
         y = y + jnp.einsum("bm,bmk->bk", s, inv_B, precision=_HIGHEST)
     return y
 
@@ -121,7 +206,7 @@ def refine_duals(cB, Bmat, inv_B, steps: int = 2):
 def refine_bfs(Bmat, b, inv_B, xB, steps: int = 2):
     """Iteratively refined ``x_B`` solving ``B x_B = b`` (dd residual)."""
     for _ in range(steps):
-        r = b - dd_matvec(Bmat, xB)
+        r = dd_residual(b, Bmat, xB)
         xB = xB + jnp.einsum("bmk,bk->bm", inv_B, r, precision=_HIGHEST)
     return xB
 
