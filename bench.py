@@ -22,6 +22,29 @@ import time
 import numpy as np
 
 
+# v5e f32 matmul ceiling used for the %-of-speed-of-light accounting:
+# the chip's 197 bf16 TFLOP/s MXU runs Precision.HIGHEST f32 as a 6-pass
+# product, so ~33 TFLOP/s is the realistic f32 compute roof the kernels
+# are graded against (the measured cholesky panel sweep ran at 0.13).
+V5E_F32_TFLOPS = 33.0
+
+
+def _efficiency(total_iters, wall, flops_per_iter):
+    """Per-family efficiency block (VERDICT r3 item 7): us per lane-
+    iteration, estimated sustained TFLOP/s from a documented per-iteration
+    FLOP model, and the %-of-f32-speed-of-light that implies.  Recorded in
+    the bench JSON so kernel-efficiency regressions are visible across
+    rounds, not just throughput."""
+    if wall <= 0 or total_iters <= 0:
+        return None
+    tf = total_iters * flops_per_iter / wall / 1e12
+    return {
+        "us_per_lane_iter": round(1e6 * wall / total_iters, 3),
+        "est_tflops": round(tf, 4),
+        "pct_of_f32_sol": round(100.0 * tf / V5E_F32_TFLOPS, 2),
+    }
+
+
 def _enable_compile_cache(jax):
     """Persistent compilation cache (sitecustomize pre-imports jax, so the
     env var is too late -- the config update works)."""
@@ -110,6 +133,9 @@ def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
     vs_baseline = (
         lps_per_sec / highs_lps if np.isfinite(highs_lps) else float("nan")
     )
+    # simplex per-pivot FLOP model: pricing y'A over the n+2m two-phase
+    # columns (2*m*(n+2m)) + duals/direction/eta rank-1 update (~6*m^2)
+    flops_per_pivot = 2 * m * (n + 2 * m) + 6 * m * m
     return {
         "lps_per_sec": round(lps_per_sec, 2),
         "vs_baseline": round(vs_baseline, 2),
@@ -119,6 +145,7 @@ def run_size(jax, m, n, chunk, chunks, maxiters, cfg, highs_samples):
         "highs_single_core_lps_per_sec": round(highs_lps, 4),
         "max_rel_gap_vs_highs": float(f"{max_gap:.3e}"),
         "lane_status": agg,
+        "efficiency": _efficiency(total_pivots, wall, flops_per_pivot),
     }
 
 
@@ -237,6 +264,12 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
         "crossed": crossed_total,
         "fallback": fallback_total,
         "family": "ipm+crossover(+simplex fallback)",
+        # res.iters mixes IPM Newton steps and crossover pivots; grading
+        # every iteration with the cheaper pivot FLOP model makes this a
+        # LOWER bound on the sustained rate
+        "efficiency": _efficiency(
+            total_iters, wall, 2 * m * (n + m) + 6 * m * m
+        ),
     }
 
 
@@ -410,6 +443,10 @@ def run_ipm_batch(jax, m, n, chunk):
     res = ipm_solve_batch_canonical(c, G, h, cfg, recover=True)
     ns = int((np.asarray(res.status) == stt.OPTIMAL).sum())
     wall = time.time() - t0
+    # IPM per-Newton-iteration FLOP model (slack-structured canonical
+    # path): normal matrix G Dg G' (2*m*n*m) + inverse-Cholesky factor
+    # (~2*m^3 in matmul form) -- the matvec/solve chain is O(m^2) noise
+    total_iters = int(np.asarray(raw.iters).sum())
     return {
         "lps_per_sec": round(chunk / raw_wall, 2),
         "wall_sec": round(raw_wall, 3),
@@ -420,6 +457,9 @@ def run_ipm_batch(jax, m, n, chunk):
         "lanes": chunk,
         "median_iters": int(np.median(np.asarray(res.iters))),
         "eps_rel": 1e-3,
+        "efficiency": _efficiency(
+            total_iters, raw_wall, 2 * m * n * m + 2 * m**3
+        ),
     }
 
 
@@ -634,12 +674,25 @@ def main():
         "lane_status": head["lane_status"],
         "device": str(jax.devices()[0]),
     }
-    for k in ("family", "crossed", "fallback"):
+    for k in ("family", "crossed", "fallback", "efficiency"):
         if k in head:
             out[k] = head[k]
     for k, v in extras.items():
         out[k] = v
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    # VERDICT r3 item 1: the driver keeps only the TAIL of the bench
+    # output, and the full JSON above grew past it (round 3's headline
+    # survived only in a commit message).  Re-print a compact headline
+    # line LAST so the tail always parses to the headline number.
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "max_rel_gap_vs_highs": out["max_rel_gap_vs_highs"],
+        "lane_status": out["lane_status"],
+    }
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
