@@ -536,72 +536,115 @@ def _recover_stragglers(c, G, h, res: BatchResult, recover_cfg,
                         maxiters: Optional[int]) -> BatchResult:
     """Route non-OPTIMAL IPM lanes through the simplex crossover (host glue).
 
-    Gathers straggler lanes, pads them to a power-of-two bucket (stable
-    compiled shapes across runs), crosses them over from their interior
-    iterates, and scatters the exact vertex results back.  Lanes the
-    crossover cannot verify keep their IPM answer and status.
+    Single-batch wrapper over :func:`recover_stragglers_pooled`.
     """
-    from .config import SolverConfig
+    return recover_stragglers_pooled(
+        [(c, G, h)], [res], recover_cfg=recover_cfg, maxiters=maxiters
+    )[0]
+
+
+def recover_stragglers_pooled(batches, results, recover_cfg=None,
+                              maxiters: Optional[int] = None):
+    """Pool non-OPTIMAL IPM lanes from MANY batches into ONE crossover.
+
+    ``batches`` is a sequence of ``(c, G, h)`` canonical-form chunks (all
+    the same ``(m, n)``), ``results`` the matching :class:`BatchResult`
+    list from :func:`ipm_solve_batch_canonical`.  The f32 IPM leaves 2-6%
+    of lanes at its KKT floor; repairing them per chunk runs tiny-B pivot
+    loops whose fixed per-iteration cost exceeds the raw solve itself
+    (measured round 3: recovery 5.5x the raw wall at m=512, 11.5x at
+    m=1024).  Pooling gathers stragglers from ALL chunks, pads to ONE
+    power-of-two bucket (stable compiled shapes), crosses them over in one
+    batched call, and scatters the exact vertex results back -- amortizing
+    the pivot-loop overhead across every chunk dispatched.  Lanes the
+    crossover cannot verify keep their IPM answer and status.
+
+    Returns the list of (possibly replaced) :class:`BatchResult`.
+    """
     from .crossover import crossover_batch_canonical
+    from .router import exact_cleanup_config
 
-    status = np.array(res.status)  # writable copy
-    bad = np.flatnonzero(status != st.OPTIMAL)
-    if bad.size == 0:
-        return res
-    B, m, n = G.shape
-    bucket = max(8, 1 << int(bad.size - 1).bit_length())
-    bucket = min(bucket, B)
-    idx = np.resize(bad, bucket)
-    if recover_cfg is None:
-        from .config import tuned_config
-
-        # the Pallas mega-kernel cleans up the small-bucket crossover far
-        # faster than the XLA batched path at tiny B (per-iteration bound);
-        # larger m needs the tight-refactor + big-budget settings measured
-        # for the crossover (see bench.run_ipm_crossover)
-        recover_cfg = tuned_config(m) if m <= 512 else SolverConfig(
-            pricing="dantzig", refactor_every=128, polish_pivots=8
-        )
-    if maxiters is None:
-        maxiters = 512 if m <= 512 else 2048
+    statuses = [np.array(r.status) for r in results]  # writable copies
+    lanes = [(bi, int(l)) for bi, s in enumerate(statuses)
+             for l in np.flatnonzero(s != st.OPTIMAL)]
+    if not lanes:
+        return list(results)
+    B, m, n = batches[0][1].shape
+    total = sum(b[1].shape[0] for b in batches)
+    bucket = max(8, 1 << int(len(lanes) - 1).bit_length())
+    bucket = min(bucket, total)
+    pick = sorted(lanes[k % len(lanes)] for k in range(bucket))
+    # one gather per touched chunk (not per lane: a host loop of per-lane
+    # device indexing costs a dispatch round-trip each over the TPU tunnel)
+    by_b = {}
+    for bi, l in pick:
+        by_b.setdefault(bi, []).append(l)
+    parts = {
+        bi: jnp.asarray(np.asarray(ls, np.int32)) for bi, ls in by_b.items()
+    }
+    cg = jnp.concatenate(
+        [jnp.take(batches[bi][0], parts[bi], axis=0) for bi in by_b]
+    )
+    Gg = jnp.concatenate(
+        [jnp.take(batches[bi][1], parts[bi], axis=0) for bi in by_b]
+    )
+    hg = jnp.concatenate(
+        [jnp.take(batches[bi][2], parts[bi], axis=0) for bi in by_b]
+    )
+    xg = jnp.concatenate(
+        [jnp.take(results[bi].x, parts[bi], axis=0)[:, :n] for bi in by_b]
+    )
+    if recover_cfg is None or maxiters is None:
+        auto_cfg, auto_iters = exact_cleanup_config(m)
+        recover_cfg = recover_cfg or auto_cfg
+        maxiters = maxiters or auto_iters
     sub, crossed = crossover_batch_canonical(
-        jnp.take(c, idx, axis=0),
-        jnp.take(G, idx, axis=0),
-        jnp.take(h, idx, axis=0),
-        jnp.take(res.x, idx, axis=0)[:, :n],
-        maxiters=maxiters,
-        cfg=recover_cfg,
+        cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg,
     )
     crossed = np.asarray(crossed)
     if not crossed.any():
-        return res
+        return list(results)
 
-    x = np.asarray(res.x).copy()
-    basis = np.asarray(res.basis).copy()
-    cost = np.asarray(res.cost).copy()
-    iters = np.asarray(res.iters).copy()
-    y = np.asarray(res.y).copy()
+    outs = {}
     sub_x = np.asarray(sub.x)  # [bucket, n] structural space
-    sub_G = np.asarray(jnp.take(G, idx, axis=0))
-    sub_h = np.asarray(jnp.take(h, idx, axis=0))
+    sub_G = np.asarray(Gg)
+    sub_h = np.asarray(hg)
     sub_basis = np.asarray(sub.basis)
     sub_cost = np.asarray(sub.cost)
     sub_iters = np.asarray(sub.iters)
     sub_y = np.asarray(sub.y)
-    for k, lane in enumerate(idx):
-        if not crossed[k]:
+    touched = sorted({bi for k, (bi, _) in enumerate(pick) if crossed[k]})
+    arrs = {
+        bi: dict(
+            x=np.asarray(results[bi].x).copy(),
+            basis=np.asarray(results[bi].basis).copy(),
+            cost=np.asarray(results[bi].cost).copy(),
+            iters=np.asarray(results[bi].iters).copy(),
+            y=np.asarray(results[bi].y).copy(),
+        )
+        for bi in touched
+    }
+    seen = set()
+    for k, (bi, lane) in enumerate(pick):
+        if not crossed[k] or (bi, lane) in seen:
             continue
+        seen.add((bi, lane))
+        a = arrs[bi]
         slack = sub_h[k] - sub_G[k] @ sub_x[k]
-        x[lane] = np.concatenate([sub_x[k], np.maximum(slack, 0.0)])
-        basis[lane] = sub_basis[k]
-        cost[lane] = sub_cost[k]
-        iters[lane] = iters[lane] + sub_iters[k]
-        y[lane] = sub_y[k]
-        status[lane] = st.OPTIMAL
-    return BatchResult(
-        x=jnp.asarray(x), basis=jnp.asarray(basis), cost=jnp.asarray(cost),
-        iters=jnp.asarray(iters), status=jnp.asarray(status), y=jnp.asarray(y),
-    )
+        a["x"][lane] = np.concatenate([sub_x[k], np.maximum(slack, 0.0)])
+        a["basis"][lane] = sub_basis[k]
+        a["cost"][lane] = sub_cost[k]
+        a["iters"][lane] = a["iters"][lane] + sub_iters[k]
+        a["y"][lane] = sub_y[k]
+        statuses[bi][lane] = st.OPTIMAL
+    for bi in touched:
+        a = arrs[bi]
+        outs[bi] = BatchResult(
+            x=jnp.asarray(a["x"]), basis=jnp.asarray(a["basis"]),
+            cost=jnp.asarray(a["cost"]), iters=jnp.asarray(a["iters"]),
+            status=jnp.asarray(statuses[bi]), y=jnp.asarray(a["y"]),
+        )
+    return [outs.get(bi, results[bi]) for bi in range(len(results))]
 
 
 class IPMSolver:

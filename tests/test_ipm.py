@@ -313,3 +313,48 @@ def test_straggler_recovery_routes_through_crossover():
         gap = abs(float(rec.cost[i]) - ref.fun) / max(1, abs(ref.fun))
         assert gap < 1e-5
         assert (np.asarray(rec.basis)[i] >= 0).all()  # basis certificate
+
+
+def test_pooled_straggler_recovery_across_chunks():
+    """VERDICT r3 item 3: stragglers from MANY chunks gather into ONE
+    crossover bucket (per-chunk tiny-B recovery cost 5.5-11.5x the raw
+    solve).  A deliberately starved IPM leaves every lane short; the
+    pooled recovery must repair all of them to exact vertices whose costs
+    match HiGHS."""
+    import jax.numpy as jnp
+    from scipy.optimize import linprog as slp
+
+    from linprog_tpu import status as stt
+    from linprog_tpu.config import SolverConfig
+    from linprog_tpu.generators import random_inequality_lps
+    from linprog_tpu.ipm import (
+        IPMConfig,
+        ipm_solve_batch_canonical,
+        recover_stragglers_pooled,
+    )
+
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=4)  # starved -> all stragglers
+    batches = []
+    for s in range(3):
+        c, G, h = random_inequality_lps(8, 20, 20, seed=s)
+        batches.append((jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)))
+    raws = [ipm_solve_batch_canonical(*b, cfg) for b in batches]
+    assert all(
+        int((np.asarray(r.status) == stt.OPTIMAL).sum()) < 8 for r in raws
+    )
+    rc = SolverConfig(kernels="xla", pricing="dantzig", refactor_every=64,
+                      polish_pivots=8)
+    recs = recover_stragglers_pooled(batches, raws, recover_cfg=rc,
+                                     maxiters=400)
+    for bi, (c, G, h) in enumerate(batches):
+        status = np.asarray(recs[bi].status)
+        assert (status == stt.OPTIMAL).all(), (bi, status)
+        cn, Gn, hn = np.asarray(c), np.asarray(G), np.asarray(h)
+        for i in range(8):
+            ref = slp(cn[i], A_ub=Gn[i], b_ub=hn[i], bounds=(0, None),
+                      method="highs")
+            if ref.status == 0:
+                gap = abs(float(recs[bi].cost[i]) - ref.fun) / max(
+                    1, abs(ref.fun)
+                )
+                assert gap < 2e-5, (bi, i, gap)
