@@ -277,7 +277,8 @@ def pdhg_crossover_batch_canonical(c, G, h, pdhg_maxiters: int = 20_000,
 
 def ipm_crossover_batch_canonical(c, G, h, ipm_cfg=None,
                                   crossover_maxiters: int = 512,
-                                  cfg: SolverConfig = DEFAULT_CONFIG):
+                                  cfg: SolverConfig = DEFAULT_CONFIG,
+                                  guess: str = "magnitude"):
     """Batched interior-point + crossover: Newton-step speed, exact optima.
 
     Runs :func:`linprog_tpu.ipm.ipm_solve_batch_canonical` (6-10 Newton
@@ -291,8 +292,16 @@ def ipm_crossover_batch_canonical(c, G, h, ipm_cfg=None,
     (before: magnitude ranking crossed only 80/128 f32 lanes at m=n=128
     because infeasible guesses bailed; the Tapia indicator ``x/s`` was no
     better at 77/128 since the terminal state restores a mid-path
-    best-KKT iterate).  Pass ``indicator`` to
-    :func:`crossover_batch_canonical` directly to experiment.
+    best-KKT iterate).
+
+    ``guess`` selects the basis-guess ranking over the slack-extended
+    space: ``"magnitude"`` ranks by ``[x; h - Gx]`` (primal values),
+    ``"tapia"`` by the Tapia indicator ``x/s`` (primal over dual slack --
+    at an interior point it separates the optimal support more sharply
+    than magnitudes, at the cost of sensitivity to the mid-path
+    best-iterate restore), ``"slack"`` is magnitude with slack columns
+    up-weighted (unit slack columns keep the guessed basis better
+    conditioned, cutting dual-repair pivots on large m).
     """
     from .ipm import DEFAULT_IPM_CONFIG, _ipm_canonical_jit
 
@@ -303,8 +312,26 @@ def ipm_crossover_batch_canonical(c, G, h, ipm_cfg=None,
     state = _ipm_canonical_jit(cs, G, h, ipm_cfg)
     x = state.x[:, :n].astype(dt)
     x = jnp.where(jnp.all(jnp.isfinite(x), axis=1)[:, None], x, 0.0)
+    if guess == "tapia":
+        ind = state.x / jnp.maximum(state.s, 1e-30)
+        ind = jnp.where(
+            jnp.all(jnp.isfinite(ind), axis=1)[:, None], ind, 0.0
+        ).astype(dt)
+    elif guess == "slack":
+        s_pr = jnp.maximum(
+            h - jnp.einsum("bmn,bn->bm", G, x, precision=_HIGHEST), 0.0
+        )
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(h), axis=1))[:, None]
+        # slacks win any tie within ~1e-3 of the magnitude ranking
+        ind = jnp.concatenate(
+            [jnp.maximum(x, 0.0), s_pr + 1e-3 * scale], axis=1
+        )
+    elif guess == "magnitude":
+        ind = None
+    else:
+        raise ValueError(f"unknown basis guess {guess!r}")
     res, crossed = crossover_batch_canonical(
-        c, G, h, x, maxiters=crossover_maxiters, cfg=cfg,
+        c, G, h, x, maxiters=crossover_maxiters, cfg=cfg, indicator=ind,
     )
     ipm_cost = jnp.sum(cs * state.x, axis=1).astype(dt)
     merged = BatchResult(

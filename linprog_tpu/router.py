@@ -50,22 +50,52 @@ from .results import BatchResult
 
 _FAMILIES = ("simplex", "ipm", "ipm+crossover", "pdhg")
 
-# measured regime boundaries (see module docstring)
-_EXACT_SIMPLEX_MAX_M = 192
-_MODERATE_SIMPLEX_MAX_M = 192
-_PDHG_MIN_M = 4096
-_EXACT_EPS = 1e-5
-# the Pallas mega-kernel (crossover cleanup phases) fits to m ~= 512
-_XOVER_PALLAS_MAX_M = 512
+# Measured regime boundaries now live in ONE per-chip data file
+# (linprog_tpu/data/calibration.json, VERDICT r3 item 9) -- the module
+# constants of rounds 1-3 were frozen v5e-1 measurements that would
+# silently mis-route on the next chip.  linprog_tpu.calibration resolves
+# the live device's table (env/set_table injectable for tests + porting).
+from .calibration import get_table as _calibration_table
+
+def _xover_pallas_max_m() -> int:
+    """Mega-kernel fit boundary for the crossover cleanup phases."""
+    return int(_calibration_table()["xover_pallas_max_m"])
+
+
+def exact_cleanup_config(m: int, maxiters: Optional[int] = None):
+    """Measured-fastest crossover-cleanup settings: ``(SolverConfig, budget)``.
+
+    One shared source for the exact pipeline (:func:`solve_batch_exact`),
+    the IPM straggler recovery (:func:`linprog_tpu.ipm
+    .recover_stragglers_pooled`) and the bench legs.  ``m <= 512`` runs the
+    whole-segment Pallas mega-kernel at the tuned segment length (measured
+    m=256: 643 vs 452 LPs/s over the XLA cleanup).  Larger ``m`` (round 4)
+    also routes the repair phases through the Pallas kernels -- the XLA
+    batched path ran the m=1024 cleanup at 7.75 LPs/s (VERDICT r3) and its
+    dual phase fell back to the vmapped per-lane engine -- with the tight
+    refactorization cadence the m=1024 crossover measured necessary
+    against eta drift, and a larger pivot budget for bad-guess lanes.
+    """
+    if m <= _xover_pallas_max_m():
+        return tuned_config(m), (maxiters or 512)
+    return (
+        tuned_config(m, refactor_every=128, unroll=2),
+        (maxiters or 2048),
+    )
 
 
 def choose_family(m: int, accuracy: float) -> str:
-    """The routing rule alone (exposed for tests / observability)."""
-    if accuracy >= 1e-4 and m >= _PDHG_MIN_M:
+    """The routing rule alone (exposed for tests / observability).
+
+    Thresholds come from the per-chip calibration table
+    (:func:`linprog_tpu.calibration.get_table`)."""
+    t = _calibration_table()
+    if accuracy >= 1e-4 and m >= t["pdhg_min_m"]:
         return "pdhg"
-    if accuracy <= _EXACT_EPS:
-        return "simplex" if m <= _EXACT_SIMPLEX_MAX_M else "ipm+crossover"
-    return "simplex" if m <= _MODERATE_SIMPLEX_MAX_M else "ipm"
+    if accuracy <= t["exact_eps"]:
+        return ("simplex" if m <= t["exact_simplex_max_m"]
+                else "ipm+crossover")
+    return "simplex" if m <= t["moderate_simplex_max_m"] else "ipm"
 
 
 def solve_batch_auto(c, G, h, accuracy: float = 1e-6,
@@ -141,7 +171,8 @@ def solve_batch_auto(c, G, h, accuracy: float = 1e-6,
 
 
 def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
-                      maxiters: Optional[int] = None):
+                      maxiters: Optional[int] = None,
+                      guess: str = "magnitude"):
     """Exact vertices at Newton-step speed: IPM -> crossover -> fallback.
 
     The fastest measured EXACT pipeline for ``m >= 256``: batched
@@ -163,21 +194,12 @@ def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
 
     B, m, n = G.shape
     if cfg is None:
-        if m <= _XOVER_PALLAS_MAX_M:
-            cfg = tuned_config(m)
-            budget = maxiters or 512
-        else:
-            # large m: tighter refactorization + bigger pivot budget
-            # (measured m=1024: 5/8 crossed at seg=512/budget 512 ->
-            # 8/8 at seg=128/budget 2048)
-            cfg = SolverConfig(pricing="dantzig", refactor_every=128,
-                               polish_pivots=8)
-            budget = maxiters or 2048
+        cfg, budget = exact_cleanup_config(m, maxiters)
     else:
-        budget = maxiters or (512 if m <= _XOVER_PALLAS_MAX_M else 2048)
+        budget = maxiters or (512 if m <= _xover_pallas_max_m() else 2048)
 
     res, crossed = ipm_crossover_batch_canonical(
-        c, G, h, crossover_maxiters=budget, cfg=cfg
+        c, G, h, crossover_maxiters=budget, cfg=cfg, guess=guess
     )
     crossed_np = np.asarray(crossed)
     info = {"crossed": int(crossed_np.sum()), "fallback": 0}
