@@ -411,51 +411,66 @@ def run_pdhg_batch(jax, m, n, chunk):
     }
 
 
-def run_ipm_batch(jax, m, n, chunk):
+def run_ipm_batch(jax, m, n, chunk, chunks=4):
     """Interior-point family datapoint: batched Mehrotra at f32 eps 1e-3.
 
     Per iteration: two [B,m,n+m] matmuls + a batched Cholesky -- all MXU.
     6-12 Newton steps per lane regardless of size (vs hundreds of pivots),
     at the f32 normal-equations accuracy floor (~6e-4 KKT; chain
-    linprog_tpu.crossover for exact vertices).  ``recover=True`` adds the
-    crossover straggler backstop (round-3): the 2-6% of lanes the f32 IPM
-    leaves behind are repaired to exact vertices, all inside the timed
-    region."""
+    linprog_tpu.crossover for exact vertices).
+
+    The recovered leg (round 4, VERDICT r3 item 3) dispatches ``chunks``
+    raw IPM batches asynchronously, then repairs the stragglers from ALL
+    of them in ONE pooled crossover (``ipm.recover_stragglers_pooled``) --
+    the per-chunk tiny-B recovery used to cost 5.5-11.5x the raw solve;
+    pooling amortizes the pivot-loop overhead across every chunk."""
     from linprog_tpu import status as stt
     from linprog_tpu.generators import device_inequality_lps
-    from linprog_tpu.ipm import IPMConfig, ipm_solve_batch_canonical
+    from linprog_tpu.ipm import (
+        IPMConfig,
+        ipm_solve_batch_canonical,
+        recover_stragglers_pooled,
+    )
 
-    c, G, h = device_inequality_lps(jax.random.PRNGKey(0), chunk, m, n)
+    keys = jax.random.split(jax.random.PRNGKey(0), chunks)
+    gen = jax.jit(lambda k: device_inequality_lps(k, chunk, m, n))
+    batches = [gen(k) for k in keys]
     cfg = IPMConfig(eps_rel=1e-3, maxiters=40, dtype="float32")
-    # raw leg: warm, then timed (the family's intrinsic throughput)
-    raw = ipm_solve_batch_canonical(c, G, h, cfg)
-    np.asarray(raw.cost)
+    # raw leg: warm (compile), then all chunks timed as one dispatch chain
+    raw0 = ipm_solve_batch_canonical(*batches[0], cfg)
+    np.asarray(raw0.cost)
     t0 = time.time()
-    raw = ipm_solve_batch_canonical(c, G, h, cfg)
-    raw_optimal = int((np.asarray(raw.status) == stt.OPTIMAL).sum())
+    raws = [ipm_solve_batch_canonical(*b, cfg) for b in batches]
+    raw_optimal = sum(
+        int((np.asarray(r.status) == stt.OPTIMAL).sum()) for r in raws
+    )
     raw_wall = time.time() - t0
-    # recovered leg: straggler lanes routed through the crossover to exact
-    # vertices, all inside the timed region (same key -> same stragglers,
-    # so the warm-up covers the recovery compile too)
-    res = ipm_solve_batch_canonical(c, G, h, cfg, recover=True)
-    np.asarray(res.cost)
+    # recovered leg: same dispatch chain + ONE pooled crossover over the
+    # stragglers of every chunk (same keys -> same stragglers, so this
+    # warm-up covers the recovery bucket's compile too)
+    recover_stragglers_pooled(batches, raws)
     t0 = time.time()
-    res = ipm_solve_batch_canonical(c, G, h, cfg, recover=True)
-    ns = int((np.asarray(res.status) == stt.OPTIMAL).sum())
+    raws = [ipm_solve_batch_canonical(*b, cfg) for b in batches]
+    recs = recover_stragglers_pooled(batches, raws)
+    ns = sum(
+        int((np.asarray(r.status) == stt.OPTIMAL).sum()) for r in recs
+    )
     wall = time.time() - t0
     # IPM per-Newton-iteration FLOP model (slack-structured canonical
     # path): normal matrix G Dg G' (2*m*n*m) + inverse-Cholesky factor
     # (~2*m^3 in matmul form) -- the matvec/solve chain is O(m^2) noise
-    total_iters = int(np.asarray(raw.iters).sum())
+    total_iters = sum(int(np.asarray(r.iters).sum()) for r in raws)
+    lanes = chunk * chunks
     return {
-        "lps_per_sec": round(chunk / raw_wall, 2),
+        "lps_per_sec": round(lanes / raw_wall, 2),
         "wall_sec": round(raw_wall, 3),
         "optimal": raw_optimal,
-        "recovered_lps_per_sec": round(chunk / wall, 2),
+        "recovered_lps_per_sec": round(lanes / wall, 2),
         "recovered_wall_sec": round(wall, 3),
         "recovered_optimal": ns,
-        "lanes": chunk,
-        "median_iters": int(np.median(np.asarray(res.iters))),
+        "lanes": lanes,
+        "chunks": chunks,
+        "median_iters": int(np.median(np.asarray(recs[0].iters))),
         "eps_rel": 1e-3,
         "efficiency": _efficiency(
             total_iters, raw_wall, 2 * m * n * m + 2 * m**3
@@ -463,35 +478,26 @@ def run_ipm_batch(jax, m, n, chunk):
     }
 
 
-def run_ipm_crossover(jax, m, n, chunk, highs_samples=2):
+def run_ipm_crossover(jax, m, n, chunk, highs_samples=2, guess="magnitude"):
     """IPM -> crossover pipeline: exact vertices from the fastest family.
 
     The round-2 verdict's top item, measured end-to-end: batched Mehrotra
     to the f32 KKT floor, then the dual-then-primal crossover cleanup that
     repairs primal-infeasible basis guesses (crossover.py).  Reports the
     crossed-lane count and the HiGHS-checked objective gap of the exact
-    vertices."""
-    from linprog_tpu.config import SolverConfig, tuned_config
+    vertices.  Cleanup settings come from the shared
+    ``router.exact_cleanup_config`` (round 4: Pallas kernels past m=512
+    too -- the XLA cleanup ran m=1024 at 7.75 LPs/s)."""
     from linprog_tpu.crossover import ipm_crossover_batch_canonical
     from linprog_tpu.generators import device_inequality_lps
+    from linprog_tpu.router import exact_cleanup_config
 
     c, G, h = device_inequality_lps(jax.random.PRNGKey(0), chunk, m, n)
-    # larger m: the f32 basis guess degrades with cond and some lanes need
-    # >1500 cleanup pivots, with tighter refactorization against eta drift
-    # (measured m=1024: 5/8 crossed at seg=512/budget 512 -> 8/8 at
-    # seg=128/budget 2048).  m <= 512 cleans up in the Pallas mega-kernel
-    # (measured m=256: 643 vs 452 LPs/s over the XLA cleanup path).
-    if m <= 512:
-        cfg = tuned_config(m)
-        budget = 512
-    else:
-        cfg = SolverConfig(pricing="dantzig", refactor_every=128,
-                           polish_pivots=8)
-        budget = 2048
+    cfg, budget = exact_cleanup_config(m)
 
     def run():
         return ipm_crossover_batch_canonical(
-            c, G, h, crossover_maxiters=budget, cfg=cfg
+            c, G, h, crossover_maxiters=budget, cfg=cfg, guess=guess
         )
 
     res, crossed = run()  # compile + warm
@@ -632,9 +638,12 @@ def main():
         # bounded solves run ~2000-2400 iterations (bound flips each count
         # one); seg=2048 nearly covers a whole solve per segment (+12%
         # over 512, measured: 205 -> 230 LPs/s)
+        # polish_pivots=8: the bound-aware dd terminal polish (round 4)
+        # closes the 1.57e-6 gap the unpolished leg measured vs the 1e-6
+        # BASELINE target
         extras["bounded_m256"] = run_bounded(
             jax, 256, 256, 1024, 3 * args.maxiters,
-            cfg.replace(pricing="dantzig", polish_pivots=0,
+            cfg.replace(pricing="dantzig", polish_pivots=8,
                         refactor_every=2048), 4,
         )
         extras["warm_rhs_m256"] = run_warm_start(
