@@ -311,10 +311,11 @@ def solve_batch_bounded(
     """
     from . import bounded as bnd
     from .engine_batched import _mega_kernel_fits
+    from .refine import dd_dot, dd_residual, refine_bfs
 
     basis = jnp.asarray(basis, jnp.int32)
     var_state = jnp.asarray(var_state, jnp.int8)
-    _, m, n = A.shape
+    B, m, n = A.shape
     if cfg.kernels == "pallas" and _mega_kernel_fits(m, n, with_at=False):
         states = jax.vmap(bnd.make_bounded_state)(
             A, b, lb, ub, basis, var_state
@@ -322,23 +323,71 @@ def solve_batch_bounded(
         out = bnd.run_bounded_batched_pallas(
             c, A, b, lb, ub, states, maxiters, cfg
         )
-        x = jax.vmap(bnd.expand_bounded_bfs)(out, lb, ub)
-        basis_out, iters, status = out.basis, out.iters, out.status
     else:
         def one(ci, Ai, bi, lbi, ubi, basisi, vsi):
             state = bnd.make_bounded_state(Ai, bi, lbi, ubi, basisi, vsi)
-            state = bnd.run_bounded(ci, Ai, bi, lbi, ubi, state, maxiters, cfg)
-            x = bnd.expand_bounded_bfs(state, lbi, ubi)
-            return x, state.basis, state.iters, state.status
+            return bnd.run_bounded(ci, Ai, bi, lbi, ubi, state, maxiters, cfg)
 
-        x, basis_out, iters, status = jax.vmap(one)(
-            c, A, b, lb, ub, basis, var_state,
-        )
+        out = jax.vmap(one)(c, A, b, lb, ub, basis, var_state)
+    basis_out, var_out = out.basis, out.var_state
+    iters, status = out.iters, out.status
     status = jnp.where(status == st.RUNNING, st.ITER_LIMIT, status)
+
+    # terminal accuracy pass (same contract as solve_batch_two_phase): the
+    # engine's bfs carries eta drift; re-solve B x_B = b - A x_N exactly at
+    # the terminal basis, with the rhs itself computed double-word (the
+    # f32 A @ x_N product alone costs ~1e-5 relative at m=256 bounds)
+    def rhs_of(vs):
+        x_n = jnp.where(
+            vs == bnd.AT_LB, lb,
+            jnp.where(
+                (vs == bnd.AT_UB) & jnp.isfinite(ub), ub, jnp.zeros_like(lb)
+            ),
+        )
+        return x_n, dd_residual(b, A, x_n)
+
+    Bmat = jnp.take_along_axis(A, basis_out[:, None, :], axis=2)
+    _, rhs = rhs_of(var_out)
+    inv_B = jnp.linalg.inv(Bmat)
+    xB = jnp.einsum("bmk,bk->bm", inv_B, rhs)
+    ok = jnp.all(jnp.isfinite(inv_B), axis=(1, 2)) & jnp.all(
+        jnp.isfinite(xB), axis=1
+    )
+    xB = jnp.where(ok[:, None], refine_bfs(Bmat, rhs, inv_B, xB), out.bfs)
+    status = jnp.where(ok, status, st.NUMERICAL_ERROR).astype(jnp.int32)
+
+    obj_corr = 0.0
+    if cfg.polish_pivots > 0:
+        # bound-aware dd polish (VERDICT r3 item 5): double-word repricing
+        # with the at-ub sign flip + 3-way-ratio cleanup steps, then the
+        # duality objective correction y'(rhs - B x_B)
+        from .refine import polish_bounded_batch
+
+        act = (status == st.OPTIMAL) & ok
+        pbasis, pvs, pxB, py, pinv = polish_bounded_batch(
+            c, A, b, lb, ub, basis_out, var_out, act,
+            max_pivots=cfg.polish_pivots, pivot_tol=cfg.pivot_tol,
+            inv_B=inv_B,
+        )
+        basis_out = jnp.where(act[:, None], pbasis, basis_out)
+        var_out = jnp.where(act[:, None], pvs, var_out)
+        xB = jnp.where(act[:, None], pxB, xB)
+        Bmat = jnp.take_along_axis(A, basis_out[:, None, :], axis=2)
+        _, rhs = rhs_of(var_out)
+        r2 = dd_residual(rhs, Bmat, xB)
+        corr = dd_dot(py, r2)
+        obj_corr = jnp.where(act & jnp.isfinite(corr), corr, 0.0)
+
+    x_n, _ = rhs_of(var_out)
+    x = x_n.at[jnp.arange(B)[:, None], basis_out].set(xB)
+    if cfg.polish_pivots > 0:
+        cost = dd_dot(c, x) + obj_corr
+    else:
+        cost = jnp.sum(c * x, axis=1)
     return BatchResult(
         x=x,
         basis=basis_out,
-        cost=jnp.sum(c * x, axis=1),
+        cost=cost,
         iters=iters,
         status=status.astype(jnp.int32),
     )

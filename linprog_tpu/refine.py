@@ -211,6 +211,129 @@ def refine_bfs(Bmat, b, inv_B, xB, steps: int = 2):
     return xB
 
 
+def polish_bounded_batch(c, A, b, lb, ub, basis, var_state, active, *,
+                         max_pivots: int = 16, dd_tol: float = 2e-6,
+                         pivot_tol: float = 1e-9, inv_B=None):
+    """dd-guided cleanup pivots for the BOUNDED-variable engine.
+
+    The bounded counterpart of :func:`polish_batch` (VERDICT r3 item 5:
+    the bounded bench leg missed the 1e-6 gap target because the dd-polish
+    was never wired to it).  Reduced costs are recomputed in double-word
+    arithmetic with the bound-aware sign flip (at-upper-bound variables
+    price as ``-(z - c)``; reference ``special_solvers.py:177-199``), and
+    each cleanup step executes the engine's own 3-way ratio test: basic to
+    lower bound, basic to upper bound, or an entering-variable bound flip.
+
+    ``c[B,n], A[B,m,n], b[B,m], lb[B,n], ub[B,n], basis[B,m] i32,
+    var_state[B,n] i8 (AT_LB=0/AT_UB=1/BASIC=2), active[B]`` bool.
+    Returns ``(basis, var_state, xB, y, inv_B)`` with ``xB`` dd-refined at
+    the final basis/bound assignment.
+    """
+    Bsz, m, n = A.shape
+    lanes = jnp.arange(Bsz)
+    AT_LB, AT_UB, BASIC = 0, 1, 2
+
+    if inv_B is None:
+        inv_B = jnp.linalg.inv(
+            jnp.take_along_axis(A, basis[:, None, :], axis=2)
+        )
+
+    def rhs_of(var_state):
+        x_n = jnp.where(
+            var_state == AT_LB, lb,
+            jnp.where(var_state == AT_UB, jnp.where(jnp.isfinite(ub), ub, 0.0),
+                      0.0),
+        )
+        return dd_residual(b, A, x_n)  # b - A x_N, compensated
+
+    def cond(carry):
+        _, _, _, act, k = carry
+        return jnp.any(act) & (k < max_pivots)
+
+    def body(carry):
+        basis, var_state, inv_B, act, k = carry
+        Bmat = jnp.take_along_axis(A, basis[:, None, :], axis=2)
+        cB = jnp.take_along_axis(c, basis, axis=1)
+        y = refine_duals(cB, Bmat, inv_B)
+        r = dd_residual_rowmat(c, y, A)  # c - y'A, compensated
+        zc = -r
+        rc = jnp.where(var_state == AT_UB, -zc, zc)
+        rc = jnp.where(var_state == BASIC, -jnp.inf, rc)
+        enter = jnp.argmax(rc, axis=1)
+        rc_max = jnp.take_along_axis(rc, enter[:, None], axis=1)[:, 0]
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(c), axis=1))
+        go = act & (rc_max > dd_tol * scale)
+
+        vs_e = jnp.take_along_axis(var_state, enter[:, None], axis=1)[:, 0]
+        sigma = jnp.where(vs_e == AT_LB, 1.0, -1.0).astype(A.dtype)
+        acol = jnp.take_along_axis(A, enter[:, None, None], axis=2)[:, :, 0]
+        d = jnp.einsum("bmk,bk->bm", inv_B, acol, precision=_HIGHEST)
+        sd = sigma[:, None] * d
+        rhs = rhs_of(var_state)
+        xB = jnp.einsum("bmk,bk->bm", inv_B, rhs, precision=_HIGHEST)
+        lb_B = jnp.take_along_axis(lb, basis, axis=1)
+        ub_B = jnp.take_along_axis(ub, basis, axis=1)
+        g1 = jnp.where(sd > pivot_tol, (xB - lb_B) / jnp.where(
+            sd > pivot_tol, sd, 1.0), jnp.inf)
+        g2 = jnp.where(-sd > pivot_tol, (ub_B - xB) / jnp.where(
+            -sd > pivot_tol, -sd, 1.0), jnp.inf)
+        g1m = jnp.min(g1, axis=1)
+        g2m = jnp.min(g2, axis=1)
+        lb_e = jnp.take_along_axis(lb, enter[:, None], axis=1)[:, 0]
+        ub_e = jnp.take_along_axis(ub, enter[:, None], axis=1)[:, 0]
+        gamma3 = ub_e - lb_e
+        delta = jnp.minimum(g1m, g2m)
+        flip = go & (gamma3 <= delta) & jnp.isfinite(gamma3)
+        piv = go & ~flip & jnp.isfinite(delta)
+
+        # bound flip: the entering variable jumps to its opposite bound
+        vs_flip = jnp.where(vs_e == AT_LB, AT_UB, AT_LB).astype(jnp.int8)
+        new_vs_e = jnp.where(
+            flip, vs_flip,
+            jnp.where(piv, jnp.int8(BASIC), vs_e.astype(jnp.int8)),
+        )
+        var_state = var_state.at[lanes, enter].set(new_vs_e)
+
+        # pivot: leaving basic lands on the bound that bound its step
+        to_lb = g1m < g2m
+        leave = jnp.where(to_lb, jnp.argmin(g1, axis=1),
+                          jnp.argmin(g2, axis=1))
+        leaving_col = jnp.take_along_axis(basis, leave[:, None], axis=1)[:, 0]
+        leave_vs = jnp.where(to_lb, jnp.int8(AT_LB), jnp.int8(AT_UB))
+        old_leave_vs = jnp.take_along_axis(
+            var_state, leaving_col[:, None], axis=1
+        )[:, 0]
+        var_state = var_state.at[lanes, leaving_col].set(
+            jnp.where(piv, leave_vs, old_leave_vs)
+        )
+        d_l = jnp.take_along_axis(d, leave[:, None], axis=1)[:, 0]
+        safe = jnp.where(d_l == 0, 1.0, d_l)
+        u = -d / safe[:, None]
+        u = u.at[lanes, leave].set(1.0 / safe - 1.0)
+        u = jnp.where(piv[:, None], u, 0.0)
+        row = jnp.take_along_axis(inv_B, leave[:, None, None], axis=1)
+        inv_B = inv_B + u[:, :, None] * row
+        basis = jnp.where(
+            piv[:, None],
+            basis.at[lanes, leave].set(enter.astype(jnp.int32)),
+            basis,
+        )
+        return basis, var_state, inv_B, go, k + jnp.any(go).astype(jnp.int32)
+
+    k0 = jnp.zeros((), jnp.int32)
+    basis, var_state, inv_B, _, _ = lax.while_loop(
+        cond, body, (basis, var_state, inv_B, active, k0)
+    )
+
+    Bmat = jnp.take_along_axis(A, basis[:, None, :], axis=2)
+    rhs = rhs_of(var_state)
+    xB = jnp.einsum("bmk,bk->bm", inv_B, rhs, precision=_HIGHEST)
+    xB = refine_bfs(Bmat, rhs, inv_B, xB, steps=3)
+    cB = jnp.take_along_axis(c, basis, axis=1)
+    y = refine_duals(cB, Bmat, inv_B)
+    return basis, var_state, xB, y, inv_B
+
+
 def polish_batch(c, A, b, basis, allowed, active, *, max_pivots: int = 16,
                  dd_tol: float = 2e-6, pivot_tol: float = 1e-9,
                  inv_B=None):
