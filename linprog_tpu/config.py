@@ -51,10 +51,14 @@ class SolverConfig:
         ``"bland"``   -- first eligible column (anti-cycling; reference default,
         ``primal_solvers.py:135-138``).
         ``"dantzig"`` -- most-negative reduced cost (faster in practice).
-        ``"devex"``   -- reference-weight pricing, implemented on the
-        whole-segment Pallas mega-kernel path only; every other path
-        substitutes dantzig selection and says so with a
-        ``RuntimeWarning`` at dispatch (see ``warn_devex_fallback``).
+        ``"devex"``   -- reference-weight pricing (Forrest-Goldfarb),
+        implemented on the whole-segment Pallas mega-kernel AND the XLA
+        batched primal driver; paths without an implementation (streaming
+        kernel, single-instance engine, dual solves) raise ``ValueError``
+        at dispatch -- the knob never silently serves a different rule.
+        Measured on the structured suite devex ~= dantzig in pivot counts
+        (see tests/test_structured_suite.py), so dantzig remains the
+        tuned default.
     refactor_every:
         If > 0 and ``update == "eta"``, recompute ``inv(A[:, basis])`` from
         scratch every ``refactor_every`` pivots to bound eta-product drift.
@@ -177,23 +181,6 @@ class SolverConfig:
         return dataclasses.replace(self, **kw)
 
 
-def warn_devex_fallback(path: str) -> None:
-    """Loud substitute notice: ``pricing="devex"`` is only truly implemented
-    on the whole-segment mega-kernel path (reference-weight devex,
-    ``ops/solve_kernel.py``); every other path substitutes Dantzig
-    selection.  Fired at trace/dispatch time (once per compilation) so a
-    user asking for devex is never silently served a different rule."""
-    import warnings
-
-    warnings.warn(
-        f"pricing='devex' is not implemented on the {path} path; "
-        "substituting dantzig selection (reference-weight devex runs on "
-        "the whole-segment Pallas mega-kernel path only)",
-        RuntimeWarning,
-        stacklevel=3,
-    )
-
-
 DEFAULT_CONFIG = SolverConfig()
 
 # The measured-fastest TPU configuration (v5e, 2026-08): Pallas
@@ -212,19 +199,16 @@ FAST_CONFIG = SolverConfig(
     packed_select=True,
 )
 
-# refactor_every knees measured per problem size on v5e (longer solves
-# want longer segments once compact refactorization makes the
-# between-segment inversion cost proportional to still-running lanes)
-_SEG_BY_M = ((384, 512), (768, 768), (1536, 1024), (1 << 62, 2048))
-
-
 def tuned_config(m: int, **overrides) -> SolverConfig:
     """:data:`FAST_CONFIG` with the segment length tuned for size ``m``.
 
-    Measured knees (v5e): seg 512 up to m~=384, 768 to ~768, 1024 to
-    ~1536, 2048 beyond.  ``overrides`` are applied last.
+    The refactor-segment knees are per-chip measurements read from the
+    calibration table (``linprog_tpu/data/calibration.json``; v5e default:
+    seg 512 up to m~=384, 768 to ~768, 1024 to ~1536, 2048 beyond --
+    longer solves want longer segments once compact refactorization makes
+    the between-segment inversion cost proportional to still-running
+    lanes).  ``overrides`` are applied last.
     """
-    for hi, seg in _SEG_BY_M:
-        if m <= hi:
-            return FAST_CONFIG.replace(refactor_every=seg, **overrides)
-    raise AssertionError("unreachable")
+    from .calibration import seg_for_m
+
+    return FAST_CONFIG.replace(refactor_every=seg_for_m(m), **overrides)

@@ -301,11 +301,13 @@ def primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Sim
     eligible = (r < -tol) & allowed
     any_elig = jnp.any(eligible)
 
-    if cfg.pricing == "devex":  # loud substitute (mega-kernel has real devex)
-        from .config import warn_devex_fallback
-
-        warn_devex_fallback("single-instance engine")
-    if cfg.pricing in ("dantzig", "devex"):
+    if cfg.pricing == "devex":
+        raise ValueError(
+            "pricing='devex' is not implemented on the single-instance "
+            "engine -- use pricing='dantzig'/'bland' here (devex runs on "
+            "the whole-segment mega-kernel and the XLA batched driver)"
+        )
+    if cfg.pricing == "dantzig":
         enter = jnp.argmin(jnp.where(eligible, r, jnp.inf))
     else:  # bland: first eligible column
         enter = jnp.argmax(eligible)
@@ -345,11 +347,13 @@ def dual_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig) -> Simpl
     n = c.shape[0]
     neg = state.bfs < -cfg.feas_tol
     any_neg = jnp.any(neg)
-    if cfg.pricing == "devex":  # loud substitute (no dual devex anywhere)
-        from .config import warn_devex_fallback
-
-        warn_devex_fallback("dual engine")
-    if cfg.pricing in ("dantzig", "devex"):  # most-infeasible row
+    if cfg.pricing == "devex":
+        raise ValueError(
+            "pricing='devex' has no dual-engine implementation anywhere "
+            "(the reference rule is a primal pricing rule); use "
+            "pricing='dantzig'/'bland' for dual solves"
+        )
+    if cfg.pricing == "dantzig":  # most-infeasible row
         leave = jnp.argmin(state.bfs)
     else:  # bland: first infeasible row (reference rule)
         leave = jnp.argmax(neg)

@@ -42,12 +42,21 @@ def _gather_cols(A, idx):
 
 
 def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig,
-                        maxiters, bland=None) -> SimplexState:
+                        maxiters, bland=None, gamma=None):
     """One batched primal iteration over all lanes (finished lanes frozen).
 
     ``bland`` (optional bool[B], XLA path only): lanes flagged True use
     Bland's first-eligible entering rule regardless of ``cfg.pricing`` --
     the per-lane stall escalation of :func:`run_batched`.
+
+    ``gamma`` (optional f32[B, n], XLA path only): devex reference weights.
+    When ``cfg.pricing == "devex"`` it MUST be supplied (the
+    :func:`run_batched` driver threads it through its loop carry) and the
+    return value becomes ``(state, gamma_updated)`` -- the same
+    reference-framework rule the whole-segment mega-kernel implements
+    (``ops/solve_kernel.py``): entering maximizes ``r^2 / gamma``, weights
+    update from the pivot row, and the leaving variable re-enters the
+    nonbasic pool at ``max(gamma_q / alpha_q^2, 1)``.
     """
     B, m, n = A.shape
     running = (state.status == st.RUNNING) & (state.iters < maxiters)
@@ -55,18 +64,18 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
     cB = jnp.take_along_axis(c, state.basis, axis=1)
     penalty = batched_in_basis_penalty(state.basis, n, allowed)
 
-    if cfg.pricing == "devex":
-        # this step serves the batched XLA path and the streaming-size
-        # Pallas helpers -- neither implements reference-weight devex
-        # (only the whole-segment mega-kernel does); substitute dantzig
-        # LOUDLY rather than silently serving a different rule
-        from .config import warn_devex_fallback
-
-        warn_devex_fallback("batched step")
+    if cfg.pricing == "devex" and (cfg.kernels == "pallas" or gamma is None):
+        raise ValueError(
+            "pricing='devex' on the batched step requires the XLA driver "
+            "(run_batched threads the weight vector); the per-step Pallas "
+            "helpers do not implement reference-weight devex -- use the "
+            "whole-segment mega-kernel (kernels='pallas' via run_batched) "
+            "or pricing='dantzig'"
+        )
     if cfg.kernels == "pallas":
         enter, elig = price_entering(
             cB, state.inv_B, A, c, penalty,
-            dantzig=(cfg.pricing in ("dantzig", "devex")), opt_tol=cfg.opt_tol,
+            dantzig=(cfg.pricing == "dantzig"), opt_tol=cfg.opt_tol,
         )
         eligible = elig > 0
         acol = _gather_cols(A, enter)
@@ -87,7 +96,16 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
         tol = (cfg.opt_tol * jnp.maximum(1.0, jnp.max(jnp.abs(c), axis=1)))[
             :, None
         ]
-        if cfg.pricing in ("dantzig", "devex"):
+        if cfg.pricing == "devex":
+            # reference-weight devex: maximize r^2 / gamma over eligible
+            neg = r < -tol
+            score = jnp.where(neg, (r * r) / gamma, -jnp.inf)
+            enter = jnp.argmax(score, axis=1)
+            eligible = jnp.take_along_axis(neg, enter[:, None], axis=1)[:, 0]
+            if bland is not None:  # stalled lanes: first eligible column
+                enter_b = jnp.argmax(neg, axis=1)
+                enter = jnp.where(bland, enter_b, enter)
+        elif cfg.pricing == "dantzig":
             enter = jnp.argmin(r, axis=1)
             eligible = (
                 jnp.take_along_axis(r, enter[:, None], axis=1) < -tol
@@ -119,6 +137,24 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
         bfs = state.bfs + u * bfs_l[:, 0][:, None]
         unbounded = eligible & ~any_pos
         pivoted = go
+        if cfg.pricing == "devex" and gamma is not None:
+            # same rule as the mega-kernel: alpha = pivot row of the OLD
+            # tableau (one extra O(mn) row GEMV), gamma_j <- max(gamma_j,
+            # (alpha_j/alpha_q)^2 gamma_q); the leaving variable re-enters
+            # the nonbasic pool at max(gamma_q / alpha_q^2, 1)
+            w = jnp.einsum("bm,bmn->bn", row[:, 0, :], A)
+            ratio2 = (w / safe[:, None]) ** 2
+            gamma_q = jnp.maximum(
+                jnp.take_along_axis(gamma, enter[:, None], axis=1)[:, 0], 1.0
+            )
+            gamma_new = jnp.maximum(gamma, ratio2 * gamma_q[:, None])
+            leaving_col = jnp.take_along_axis(
+                state.basis, leave[:, None], axis=1
+            )[:, 0]
+            g_leave = jnp.maximum(gamma_q / (safe * safe), 1.0)
+            gamma_new = gamma_new.at[jnp.arange(B), leaving_col].set(g_leave)
+            gamma_new = jnp.minimum(gamma_new, 1e12)
+            gamma = jnp.where(pivoted[:, None], gamma_new, gamma)
 
     basis = jnp.where(
         pivoted[:, None],
@@ -131,9 +167,10 @@ def batched_primal_step(c, A, b, allowed, state: SimplexState, cfg: SolverConfig
         jnp.where(running & unbounded, st.PRIMAL_UNBOUNDED, state.status),
     ).astype(jnp.int32)
     iters = state.iters + running.astype(jnp.int32)
-    return SimplexState(
+    out = SimplexState(
         basis=basis, inv_B=inv_B, bfs=bfs, iters=iters, status=new_status
     )
+    return (out, gamma) if gamma is not None else out
 
 
 def batched_refactorize(A, b, state: SimplexState) -> SimplexState:
@@ -486,10 +523,13 @@ def run_batched_stream(c, A, b, state: SimplexState, allowed, maxiters,
     # contractions; the entering column as a free sublane slice)
     AT = jnp.swapaxes(A, 1, 2)
     if cfg.pricing == "devex":
-        from .config import warn_devex_fallback
-
-        warn_devex_fallback("streaming kernel")
-    pricing_code = {"bland": 0, "dantzig": 1, "devex": 1}[cfg.pricing]
+        raise ValueError(
+            "pricing='devex' is not implemented on the streaming (large-m) "
+            "kernel -- the weight update would need a second pass over A; "
+            "use pricing='dantzig' here (devex runs on the whole-segment "
+            "mega-kernel and the XLA batched driver)"
+        )
+    pricing_code = {"bland": 0, "dantzig": 1}[cfg.pricing]
     # sectional pricing: primal only (see stream_kernel docstring)
     partial = bool(cfg.partial_pricing and mode == "primal")
     if partial and n_blk == 0:
@@ -609,20 +649,24 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             engine.run, in_axes=(0, 0, 0, 0, None, None, None, None)
         )(c, A, b, state, allowed, maxiters, cfg, "dual")
     maxiters = jnp.asarray(maxiters, jnp.int32)
-    B = A.shape[0]
+    B, _, n_cols = A.shape
     track = cfg.stall_limit > 0 and cfg.pricing in ("dantzig", "devex")
+    use_devex = cfg.pricing == "devex"
     aux0 = (
         jnp.full((B,), jnp.inf, jnp.float32),  # z_prev
         jnp.zeros((B,), jnp.int32),  # stall counter
         jnp.zeros((B,), jnp.bool_),  # bland escalation flag
     )
+    if use_devex:  # devex reference weights ride the loop carry
+        aux0 = aux0 + (jnp.ones((B, n_cols), jnp.float32),)
 
     def any_running(carry):
         ss = carry[0]
         return jnp.any((ss.status == st.RUNNING) & (ss.iters < maxiters))
 
     def step(carry, hi):
-        ss, z_prev, stall, bland = carry
+        ss, z_prev, stall, bland = carry[:4]
+        gamma = carry[4] if use_devex else None
         if track:
             # per-lane stall detection: no relative objective progress over
             # `stall_limit` pivots -> that lane's pricing escalates to
@@ -634,11 +678,15 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             bland = jnp.where(
                 progressed, False, bland | (stall >= cfg.stall_limit)
             )
-            ss = batched_primal_step(c, A, b, allowed, ss, cfg, hi,
-                                     bland=bland)
-            return (ss, z, stall, bland)
-        return (batched_primal_step(c, A, b, allowed, ss, cfg, hi),
-                z_prev, stall, bland)
+            z_prev = z
+        out = batched_primal_step(
+            c, A, b, allowed, ss, cfg, hi,
+            bland=bland if track else None, gamma=gamma,
+        )
+        if use_devex:
+            ss, gamma = out
+            return (ss, z_prev, stall, bland, gamma)
+        return (out, z_prev, stall, bland)
 
     if cfg.refactor_every > 0 and cfg.update == "eta":
         chunk = jnp.asarray(cfg.refactor_every, jnp.int32)
@@ -671,9 +719,12 @@ def run_batched(c, A, b, state: SimplexState, allowed, maxiters,
             take = (run & ok)[:, None]
             inv_B = jnp.where(take[..., None], fresh.inv_B, ss.inv_B)
             bfs = jnp.where(take, fresh.bfs, ss.bfs)
+            aux = carry[1:]
+            if use_devex:  # weights reset to the fresh reference framework
+                aux = aux[:-1] + (jnp.ones_like(aux[-1]),)
             return (
                 ss._replace(inv_B=inv_B, bfs=bfs, status=status),
-            ) + carry[1:]
+            ) + aux
 
         return lax.while_loop(any_running, outer_body, (state,) + aux0)[0]
     return lax.while_loop(

@@ -80,11 +80,11 @@ def test_iter_limit_soft_fail_and_resume(problem):
     assert np.array_equal(np.sort(res.basis), np.sort(problem.optimal_basis))
 
 
-def test_devex_fallback_warns_and_substitutes_dantzig():
-    """pricing="devex" off the mega-kernel path must warn loudly AND
-    behave exactly like dantzig (round-2 VERDICT item 6: previously the
-    single engine silently fell back and the batched XLA path silently
-    ran BLAND)."""
+def test_devex_real_implementation_on_xla_batched_path():
+    """pricing="devex" on the XLA batched driver is a REAL reference-weight
+    implementation (round-3 VERDICT item 8): it must reach the same optima
+    as dantzig (costs match HiGHS-class accuracy) and must NOT warn.  Paths
+    without an implementation raise ValueError instead of substituting."""
     import warnings
 
     import jax.numpy as jnp
@@ -99,16 +99,37 @@ def test_devex_fallback_warns_and_substitutes_dantzig():
     c, G, h = random_inequality_lps(4, 8, 12, seed=2)
     cs, As, bs = to_standard_form_batch(c, G, h)
     cs, As, bs = jnp.asarray(cs), jnp.asarray(As), jnp.asarray(bs)
-    with pytest.warns(RuntimeWarning, match="devex"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # real devex must NOT warn
         res_dv = solve_batch_two_phase(
             cs, As, bs, 200, 200, SolverConfig(pricing="devex", kernels="xla")
         )
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # dantzig itself must NOT warn
-        res_dz = solve_batch_two_phase(
-            cs, As, bs, 200, 200,
-            SolverConfig(pricing="dantzig", kernels="xla"),
-        )
-    # substituted rule == dantzig, bit-for-bit (same pivot paths)
-    assert np.array_equal(np.asarray(res_dv.basis), np.asarray(res_dz.basis))
-    assert np.array_equal(np.asarray(res_dv.iters), np.asarray(res_dz.iters))
+    res_dz = solve_batch_two_phase(
+        cs, As, bs, 200, 200,
+        SolverConfig(pricing="dantzig", kernels="xla"),
+    )
+    assert np.all(np.asarray(res_dv.status) == 1)
+    # same optima (pivot PATHS may differ -- different rules)
+    np.testing.assert_allclose(
+        np.asarray(res_dv.cost), np.asarray(res_dz.cost), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_devex_raises_where_unimplemented():
+    """No silent (or warned) substitution anywhere: the single-instance
+    engine and dual solves reject devex at dispatch."""
+    import jax.numpy as jnp
+
+    from linprog_tpu import engine
+    from linprog_tpu.config import SolverConfig
+
+    c = jnp.asarray([1.0, 1.0, 0.0])
+    A = jnp.asarray([[1.0, 2.0, 1.0]])
+    b = jnp.asarray([2.0])
+    state = engine.make_state(A, b, jnp.asarray([2], jnp.int32))
+    cfg = SolverConfig(pricing="devex")
+    allowed = jnp.ones(3, bool)
+    with pytest.raises(ValueError, match="devex"):
+        engine.primal_step(c, A, b, allowed, state, cfg)
+    with pytest.raises(ValueError, match="devex"):
+        engine.dual_step(c, A, b, allowed, state, cfg)
