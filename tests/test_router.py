@@ -113,3 +113,50 @@ def test_solve_batch_exact_fallback_guarantees_vertices():
     gaps2 = np.abs(np.asarray(res2.cost) - ref) / np.maximum(1, np.abs(ref))
     assert gaps2.max() < 1e-4
     assert info2["crossed"] + info2["fallback"] >= B - 1
+
+
+def test_injected_calibration_table_flips_routing():
+    """VERDICT r3 item 9: the routing thresholds are per-chip measurements
+    in one data file; an injected fake-measurement table must flip the
+    family choice (and tuned_config's segment knee) without code edits."""
+    from linprog_tpu import calibration
+    from linprog_tpu.config import tuned_config
+
+    base = choose_family(128, 1e-6)
+    assert base == "simplex"  # v5e default: simplex wins to m=192
+    seg_base = tuned_config(128).refactor_every
+    try:
+        calibration.set_table({
+            "default": {
+                "exact_simplex_max_m": 4,
+                "moderate_simplex_max_m": 4,
+                "pdhg_min_m": 64,
+                "exact_eps": 1e-5,
+                "xover_pallas_max_m": 512,
+                "seg_by_m": [[0, 96]],
+            }
+        })
+        assert choose_family(128, 1e-6) == "ipm+crossover"
+        assert choose_family(128, 1e-3) == "pdhg"  # m >= fake pdhg_min_m
+        assert tuned_config(128).refactor_every == 96
+    finally:
+        calibration.reset_table()
+    assert choose_family(128, 1e-6) == base
+    assert tuned_config(128).refactor_every == seg_base
+
+
+def test_calibration_partial_table_falls_back_to_default():
+    from linprog_tpu import calibration
+
+    try:
+        calibration.set_table({
+            "default": dict(calibration.get_table("default")),
+            "made-up-chip": {"exact_simplex_max_m": 7},
+        })
+        t = calibration.get_table("made-up-chip")
+        assert t["exact_simplex_max_m"] == 7
+        # missing keys inherit the default entry
+        assert t["pdhg_min_m"] == 4096
+        assert t["seg_by_m"]
+    finally:
+        calibration.reset_table()
