@@ -38,7 +38,9 @@ from .ipm import (
     IPMSolver,
     ipm_solve_batch_canonical,
     ipm_solve_batch_standard,
+    recover_stragglers_pooled,
 )
+from .ipm_sparse import SparsePattern, ipm_solve_batch_sparse_canonical
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
 from .router import choose_family, solve_batch_auto, solve_batch_exact
@@ -73,6 +75,9 @@ __all__ = [
     "IPMConfig",
     "ipm_solve_batch_standard",
     "ipm_solve_batch_canonical",
+    "recover_stragglers_pooled",
+    "SparsePattern",
+    "ipm_solve_batch_sparse_canonical",
     "solve_batch_auto",
     "solve_batch_exact",
     "choose_family",

@@ -178,3 +178,85 @@ def device_bounded_lps(key, batch: int, m: int, n: int, ub_hi: float = 2.0):
         [ubx, jnp.full((batch, m), jnp.inf, jnp.float32)], axis=1
     )
     return c, A, b, lb, ub
+
+
+def random_sparse_pattern(m: int, n: int, density: float, seed: int = 0):
+    """Shared COO pattern ``(rows, cols)`` with ~``density`` fill.
+
+    Every row and every column is guaranteed at least one nonzero (an
+    all-zero row makes ``Gx <= h`` trivial/degenerate; an all-zero column
+    makes the variable unbounded below whenever ``c_j < 0``).
+    """
+    rng = np.random.default_rng(seed)
+    mask = rng.random((m, n)) < density
+    # guarantee coverage: one entry per empty row/column
+    empty_rows = np.flatnonzero(~mask.any(axis=1))
+    mask[empty_rows, rng.integers(0, n, size=empty_rows.size)] = True
+    empty_cols = np.flatnonzero(~mask.any(axis=0))
+    mask[rng.integers(0, m, size=empty_cols.size), empty_cols] = True
+    rows, cols = np.nonzero(mask)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def random_sparse_inequality_lps(batch: int, m: int, n: int,
+                                 density: float = 0.01, seed: int = 0,
+                                 dtype=np.float32):
+    """Batch of feasible+bounded SPARSE canonical LPs on one shared pattern.
+
+    Same construction as :func:`random_inequality_lps` (interior point
+    ``x0`` for feasibility, dual certificate ``c = s - G'y0`` for
+    boundedness) with per-lane values on a shared ``rows/cols`` pattern.
+    Returns ``(c[B, n], rows[nnz], cols[nnz], vals[B, nnz], h[B, m])``.
+    """
+    rng = np.random.default_rng(seed + 1)
+    rows, cols = random_sparse_pattern(m, n, density, seed)
+    nnz = rows.shape[0]
+    vals = rng.standard_normal((batch, nnz)).astype(dtype)
+    x0 = rng.random((batch, n)).astype(dtype)
+    slack = rng.random((batch, m)).astype(dtype)
+    h = np.zeros((batch, m), dtype)
+    np.add.at(h.T, rows, (vals * x0[:, cols]).T)
+    h += slack
+    y0 = rng.random((batch, m)).astype(dtype)
+    s = (0.1 + 0.9 * rng.random((batch, n))).astype(dtype)
+    gty = np.zeros((batch, n), dtype)
+    np.add.at(gty.T, cols, (vals * y0[:, rows]).T)
+    c = s - gty
+    return c, rows, cols, vals, h
+
+
+def device_sparse_inequality_lps(key, batch: int, rows, cols, m: int,
+                                 n: int):
+    """Device-side sparse batch generator on a HOST pattern.
+
+    Only the ``O(nnz)`` pattern (uploaded once by the caller) and a PRNG
+    key cross the wire; the ``[B, nnz]`` values and rhs/cost are generated
+    on device -- same construction as
+    :func:`random_sparse_inequality_lps`.  Returns
+    ``(c[B, n], vals[B, nnz], h[B, m])`` on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    nnz = rows.shape[0]
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    vals = jax.random.normal(k1, (batch, nnz), jnp.float32)
+    x0 = jax.random.uniform(k2, (batch, n), jnp.float32)
+    slack = jax.random.uniform(k3, (batch, m), jnp.float32)
+    gx = jax.vmap(
+        lambda v, x: jax.ops.segment_sum(
+            v * x[cols], rows, num_segments=m
+        )
+    )(vals, x0)
+    h = gx + slack
+    y0 = jax.random.uniform(k4, (batch, m), jnp.float32)
+    s = 0.1 + 0.9 * jax.random.uniform(k5, (batch, n), jnp.float32)
+    gty = jax.vmap(
+        lambda v, y: jax.ops.segment_sum(
+            v * y[rows], cols, num_segments=n
+        )
+    )(vals, y0)
+    c = s - gty
+    return c, vals, h

@@ -1,0 +1,230 @@
+"""Shared-pattern SPARSE batched IPM: the large-sparse scaling frontier.
+
+Round-3 verdict item 4: the framework's only sparse batch path was the
+first-order PDHG (``pdhg.pdhg_solve_batch_sparse``, eps ~1e-4).  This
+module gives the INTERIOR-POINT family the same shared-COO-pattern batch
+form -- one ``rows/cols[nnz]`` pattern, per-lane ``vals[B, nnz]`` -- at
+its better accuracy class (eps 1e-3 KKT by default, tens of Newton steps
+instead of tens of thousands of first-order iterations).
+
+TPU-shaped design:
+
+* **matvecs are gathers, not scatters**: the pattern is pre-padded on the
+  host into row-major ``[m, k_row]`` and column-major ``[n, k_col]`` slot
+  tables, so ``G x`` / ``G' y`` are one ``take``-gather plus a masked
+  reduction over the padded axis -- dense, static-shape VPU work.
+* **the normal matrix is assembled DENSE from the sparse values**
+  (``A D A' = G D_g G' + diag(D_s)``): at 1% density the product has
+  ~``n * p^2 m^2`` expected fill (~20% at m=n=2048), so a dense ``[m, m]``
+  Cholesky is the right factorization anyway; what sparsity eliminates is
+  the dominant ``2 m^2 n`` assembly matmul.  Each column contributes the
+  outer product of its ``k_col`` nonzeros scaled by ``d_j`` -- a
+  ``[B, n, k, k]`` elementwise product scattered once per Newton step
+  through a PRE-SORTED segment-sum (the flat ``i1*m+i2`` target ids and
+  their sorting permutation are pattern constants computed on the host).
+* everything downstream (inverse-Cholesky factor, predictor/corrector,
+  step control, Farkas certificates) is the SAME ``_ipm_core`` the dense
+  families run -- the operator protocol (`ipm._DenseOp`/`_SlackOp`) was
+  built for exactly this.
+
+Reference parity axis: the reference is dense-only NumPy
+(``/root/reference/linprog/preprocessing.py`` materializes everything);
+sparse batches are a capability its users would need at production sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ipm import (
+    DEFAULT_IPM_CONFIG,
+    IPMConfig,
+    _ipm_core,
+    ipm_state_to_result,
+)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class SparsePattern:
+    """Host-side padded formats + pair-scatter plan for one COO pattern.
+
+    ``rows/cols[nnz]`` (any order, no duplicate coordinates), ``m x n``.
+    All members are numpy arrays; pass them through a jit boundary as
+    operands (the shapes -- ``k_row``/``k_col``/``n_pairs`` -- are pattern
+    constants, so one compiled solver serves every batch on the pattern).
+    """
+
+    def __init__(self, rows, cols, m: int, n: int):
+        rows = np.asarray(rows, np.int32)
+        cols = np.asarray(cols, np.int32)
+        if rows.shape != cols.shape:
+            raise ValueError("rows/cols must have the same length")
+        nnz = rows.shape[0]
+        self.m, self.n, self.nnz = int(m), int(n), int(nnz)
+
+        # --- row-padded (for G x): slots into vals, padded with 0-masks ---
+        order_r = np.argsort(rows, kind="stable")
+        counts_r = np.bincount(rows, minlength=m)
+        k_row = max(1, int(counts_r.max()))
+        row_cols = np.zeros((m, k_row), np.int32)
+        row_slot = np.zeros((m, k_row), np.int32)
+        row_mask = np.zeros((m, k_row), np.float32)
+        pos = np.zeros(m, np.int64)
+        starts_r = np.concatenate([[0], np.cumsum(counts_r)[:-1]])
+        for t in order_r:
+            i = rows[t]
+            j = pos[i]
+            row_cols[i, j] = cols[t]
+            row_slot[i, j] = t
+            row_mask[i, j] = 1.0
+            pos[i] = j + 1
+        del starts_r
+
+        # --- column-padded (for G' y and the normal-matrix assembly) ------
+        order_c = np.argsort(cols, kind="stable")
+        counts_c = np.bincount(cols, minlength=n)
+        k_col = max(1, int(counts_c.max()))
+        col_rows = np.zeros((n, k_col), np.int32)
+        col_slot = np.zeros((n, k_col), np.int32)
+        col_mask = np.zeros((n, k_col), np.float32)
+        pos = np.zeros(n, np.int64)
+        for t in order_c:
+            j = cols[t]
+            i = pos[j]
+            col_rows[j, i] = rows[t]
+            col_slot[j, i] = t
+            col_mask[j, i] = 1.0
+            pos[j] = i + 1
+
+        # --- pair-scatter plan: N[i1, i2] += d_j v_a v_b per column -------
+        # flat ids i1*m + i2 over the padded [n, k, k] pair block; padded
+        # entries carry value 0 (mask product) and target segment 0.
+        i1 = col_rows[:, :, None]
+        i2 = col_rows[:, None, :]
+        pm = (col_mask[:, :, None] * col_mask[:, None, :]) > 0
+        flat = np.where(pm, i1.astype(np.int64) * m + i2, 0).reshape(-1)
+        perm = np.argsort(flat, kind="stable")
+        self.pair_perm = perm.astype(np.int32)
+        self.pair_ids = flat[perm].astype(np.int32)
+
+        self.k_row, self.k_col = k_row, k_col
+        self.row_cols, self.row_slot = row_cols, row_slot
+        self.row_mask = row_mask
+        self.col_rows, self.col_slot = col_rows, col_slot
+        self.col_mask = col_mask
+
+
+class _SparseSlackOp:
+    """Operator for ``A = [G | I]`` with shared-pattern sparse ``G``.
+
+    Same protocol as :class:`ipm._SlackOp`; the iterate layout is
+    ``x = [x_G; x_slack]`` with ``n = n_G + m``.
+    """
+
+    def __init__(self, pat_dev: dict, vals, m: int, ng: int):
+        self.B = vals.shape[0]
+        self.m, self.ng = m, ng
+        self.n = ng + m
+        self.pat = pat_dev
+        dt = vals.dtype
+        # padded value tables, gathered once per solve (pattern-invariant)
+        self.Vr = (jnp.take(vals, pat_dev["row_slot"].reshape(-1), axis=1)
+                   .reshape(self.B, m, -1) * pat_dev["row_mask"])
+        self.Vc = (jnp.take(vals, pat_dev["col_slot"].reshape(-1), axis=1)
+                   .reshape(self.B, ng, -1) * pat_dev["col_mask"])
+        self._vals_absmax = jnp.maximum(jnp.max(jnp.abs(vals), axis=1), 1.0)
+        self._dt = dt
+
+    def _gx(self, x):
+        """``G x``: gather x at each row's column ids, masked reduce."""
+        xg = jnp.take(x, self.pat["row_cols"].reshape(-1), axis=1).reshape(
+            self.B, self.m, -1
+        )
+        return jnp.sum(self.Vr * xg, axis=2)
+
+    def _gty(self, w):
+        """``G' w``: gather w at each column's row ids, masked reduce."""
+        wg = jnp.take(w, self.pat["col_rows"].reshape(-1), axis=1).reshape(
+            self.B, self.ng, -1
+        )
+        return jnp.sum(self.Vc * wg, axis=2)
+
+    def mv(self, v):
+        return self._gx(v[:, : self.ng]) + v[:, self.ng:]
+
+    def mtv(self, w):
+        return jnp.concatenate([self._gty(w), w], axis=1)
+
+    def normal(self, d):
+        """``G D_g G' + diag(D_s)`` via the pre-sorted pair segment-sum."""
+        dg = d[:, : self.ng]
+        ds = d[:, self.ng:]
+        pv = (dg[:, :, None, None]
+              * self.Vc[:, :, :, None] * self.Vc[:, :, None, :])
+        pv = pv.reshape(self.B, -1)[:, self.pat["pair_perm"]]
+        seg = partial(
+            jax.ops.segment_sum,
+            segment_ids=self.pat["pair_ids"],
+            num_segments=self.m * self.m,
+            indices_are_sorted=True,
+        )
+        N = jax.vmap(seg)(pv).reshape(self.B, self.m, self.m)
+        idx = jnp.arange(self.m)
+        return N.at[:, idx, idx].add(ds)
+
+    def max_abs(self):
+        return self._vals_absmax
+
+
+def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
+                                     cfg: IPMConfig = DEFAULT_IPM_CONFIG,
+                                     pattern: SparsePattern | None = None):
+    """Batched sparse IPM on canonical LPs ``min c'x, Gx <= h, x >= 0``.
+
+    ``c[B, n], vals[B, nnz], h[B, m]`` with the COO pattern
+    ``rows/cols[nnz]`` shared across the batch and ``shape = (m, n)`` --
+    the same input convention as :func:`pdhg.pdhg_solve_batch_sparse`, at
+    the IPM's accuracy class.  Returns a :class:`results.BatchResult` in
+    the slack-extended space (first ``n`` entries of ``x`` are the user
+    variables), like :func:`ipm.ipm_solve_batch_canonical`.
+
+    Pass a prebuilt :class:`SparsePattern` to amortize the host-side
+    padding/sort across calls on the same pattern.
+    """
+    m, ng = shape
+    if pattern is None:
+        pattern = SparsePattern(rows, cols, m, ng)
+    pat_dev = {
+        "row_cols": jnp.asarray(pattern.row_cols),
+        "row_slot": jnp.asarray(pattern.row_slot),
+        "row_mask": jnp.asarray(pattern.row_mask),
+        "col_rows": jnp.asarray(pattern.col_rows),
+        "col_slot": jnp.asarray(pattern.col_slot),
+        "col_mask": jnp.asarray(pattern.col_mask),
+        "pair_perm": jnp.asarray(pattern.pair_perm),
+        "pair_ids": jnp.asarray(pattern.pair_ids),
+    }
+    B = vals.shape[0]
+    dt = jnp.dtype(cfg.dtype)
+    cs = jnp.concatenate(
+        [jnp.asarray(c, dt), jnp.zeros((B, m), dt)], axis=1
+    )
+    state = _ipm_sparse_jit(
+        cs, jnp.asarray(vals), jnp.asarray(h), pat_dev, m, ng, cfg
+    )
+    return ipm_state_to_result(cs, state)
+
+
+@partial(jax.jit, static_argnames=("m", "ng", "cfg"))
+def _ipm_sparse_jit(cs, vals, h, pat_dev, m, ng, cfg: IPMConfig):
+    dt = jnp.dtype(cfg.dtype)
+    pat_dev = dict(pat_dev)
+    for k in ("row_mask", "col_mask"):
+        pat_dev[k] = pat_dev[k].astype(dt)
+    op = _SparseSlackOp(pat_dev, vals.astype(dt), m, ng)
+    return _ipm_core(cs.astype(dt), op, h.astype(dt), cfg)

@@ -1,0 +1,141 @@
+"""Shared-pattern sparse batched IPM (linprog_tpu.ipm_sparse).
+
+The sparse operator must agree with the dense slack operator on a
+densified copy of the same instances (unit level), and the end-to-end
+sparse solve must match the dense IPM and the SciPy HiGHS f64 oracle
+(capability level).  Mirrors the sparse-PDHG test strategy at the IPM's
+better accuracy class.
+"""
+
+import numpy as np
+import pytest
+
+scipy_opt = pytest.importorskip("scipy.optimize")
+
+import jax
+import jax.numpy as jnp
+
+from linprog_tpu import status as stt
+from linprog_tpu.generators import (
+    device_sparse_inequality_lps,
+    random_sparse_inequality_lps,
+)
+from linprog_tpu.ipm import IPMConfig, _SlackOp, ipm_solve_batch_canonical
+from linprog_tpu.ipm_sparse import (
+    SparsePattern,
+    _SparseSlackOp,
+    ipm_solve_batch_sparse_canonical,
+)
+
+B, M, N, DENS = 8, 48, 48, 0.15
+
+
+def _instances(seed=5):
+    c, rows, cols, vals, h = random_sparse_inequality_lps(
+        B, M, N, DENS, seed=seed
+    )
+    G = np.zeros((B, M, N), np.float32)
+    G[:, rows, cols] = vals
+    return c, rows, cols, vals, h, G
+
+
+def _densify(rows, cols, vals, like):
+    G = np.zeros(like.shape, np.float32)
+    G[:, rows, cols] = vals
+    return G
+
+
+def _dev_pattern(pat):
+    return {
+        k: jnp.asarray(getattr(pat, k))
+        for k in ("row_cols", "row_slot", "row_mask", "col_rows",
+                  "col_slot", "col_mask", "pair_perm", "pair_ids")
+    }
+
+
+def test_sparse_op_matches_dense_slack_op():
+    c, rows, cols, vals, h, G = _instances()
+    pat = SparsePattern(rows, cols, M, N)
+    op = _SparseSlackOp(_dev_pattern(pat), jnp.asarray(vals), M, N)
+    dop = _SlackOp(jnp.asarray(G))
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.random((B, N + M)), jnp.float32)
+    w = jnp.asarray(rng.random((B, M)), jnp.float32)
+    d = jnp.asarray(0.1 + rng.random((B, N + M)), jnp.float32)
+    assert float(jnp.max(jnp.abs(op.mv(v) - dop.mv(v)))) < 1e-4
+    assert float(jnp.max(jnp.abs(op.mtv(w) - dop.mtv(w)))) < 1e-4
+    # the pair-scatter normal assembly is the TPU-critical piece
+    assert float(jnp.max(jnp.abs(op.normal(d) - dop.normal(d)))) < 1e-3
+    assert np.allclose(
+        np.asarray(op.max_abs()), np.asarray(dop.max_abs()), rtol=1e-6
+    )
+
+
+def test_sparse_ipm_matches_dense_and_highs():
+    c, rows, cols, vals, h, G = _instances()
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=40)
+    res_s = ipm_solve_batch_sparse_canonical(
+        c, rows, cols, vals, h, (M, N), cfg
+    )
+    res_d = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G), jnp.asarray(h), cfg
+    )
+    ns = int((np.asarray(res_s.status) == stt.OPTIMAL).sum())
+    nd = int((np.asarray(res_d.status) == stt.OPTIMAL).sum())
+    assert ns >= B - 1 and nd >= B - 1
+    gaps = []
+    for i in range(B):
+        ref = scipy_opt.linprog(
+            c[i], A_ub=G[i], b_ub=h[i], bounds=(0, None), method="highs"
+        )
+        if ref.status == 0:
+            gaps.append(
+                abs(float(res_s.cost[i]) - ref.fun) / max(1, abs(ref.fun))
+            )
+    assert gaps and max(gaps) < 5e-3
+
+
+def test_sparse_ipm_infeasible_certificate():
+    """Farkas grading runs through the sparse operator too: an infeasible
+    sparse instance must be flagged, not returned as a bogus optimum."""
+    c, rows, cols, vals, h, G = _instances(seed=9)
+    # x >= 0 with a row forcing  (sum of nonneg combo) <= negative:
+    # make one row's values all positive and its rhs negative
+    r0 = rows == rows[0]
+    vals = vals.copy()
+    vals[:, r0] = np.abs(vals[:, r0]) + 0.1
+    h = h.copy()
+    h[:, rows[0]] = -1.0
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=40)
+    res = ipm_solve_batch_sparse_canonical(
+        c, rows, cols, vals, h, (M, N), cfg
+    )
+    status = np.asarray(res.status)
+    # no lane may read OPTIMAL; the Farkas tolerance certifies a subset at
+    # f32 (the rest close as ITER_LIMIT) -- must match the DENSE IPM's
+    # verdicts exactly on the densified copies (operator parity)
+    assert (status == stt.OPTIMAL).sum() == 0
+    assert (status == stt.PRIMAL_INFEASIBLE).sum() >= 1
+    res_d = ipm_solve_batch_canonical(
+        jnp.asarray(c), jnp.asarray(G * 0 + _densify(rows, cols, vals, G)),
+        jnp.asarray(h), cfg,
+    )
+    assert np.array_equal(status, np.asarray(res_d.status))
+
+
+def test_device_sparse_generator_matches_host_construction():
+    rows, cols = random_sparse_inequality_lps(1, 16, 16, 0.2, seed=1)[1:3]
+    c, vals, h = device_sparse_inequality_lps(
+        jax.random.PRNGKey(0), 4, rows, cols, 16, 16
+    )
+    assert c.shape == (4, 16) and h.shape == (4, 16)
+    assert vals.shape[0] == 4 and vals.shape[1] == rows.shape[0]
+    # feasibility by construction: G x0 + slack = h admits x0 interior;
+    # solve a lane with HiGHS to confirm bounded-feasible
+    G = np.zeros((16, 16), np.float32)
+    G[np.asarray(rows), np.asarray(cols)] = np.asarray(vals[0])
+    ref = scipy_opt.linprog(
+        np.asarray(c[0]), A_ub=G, b_ub=np.asarray(h[0]),
+        bounds=(0, None), method="highs",
+    )
+    assert ref.status == 0
