@@ -211,4 +211,5 @@ def tuned_config(m: int, **overrides) -> SolverConfig:
     """
     from .calibration import seg_for_m
 
-    return FAST_CONFIG.replace(refactor_every=seg_for_m(m), **overrides)
+    seg = overrides.pop("refactor_every", seg_for_m(m))
+    return FAST_CONFIG.replace(refactor_every=seg, **overrides)

@@ -172,7 +172,7 @@ def solve_batch_auto(c, G, h, accuracy: float = 1e-6,
 
 def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
                       maxiters: Optional[int] = None,
-                      guess: str = "magnitude"):
+                      guess: str = "tapia"):
     """Exact vertices at Newton-step speed: IPM -> crossover -> fallback.
 
     The fastest measured EXACT pipeline for ``m >= 256``: batched
