@@ -564,7 +564,7 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
     from .crossover import crossover_batch_canonical
     from .router import exact_cleanup_config
 
-    statuses = [np.array(r.status) for r in results]  # writable copies
+    statuses = [np.asarray(r.status) for r in results]  # tiny readbacks
     lanes = [(bi, int(l)) for bi, s in enumerate(statuses)
              for l in np.flatnonzero(s != st.OPTIMAL)]
     if not lanes:
@@ -574,95 +574,109 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
     bucket = max(8, 1 << int(len(lanes) - 1).bit_length())
     bucket = min(bucket, total)
     pick = sorted(lanes[k % len(lanes)] for k in range(bucket))
-    # one gather per touched chunk (not per lane: a host loop of per-lane
-    # device indexing costs a dispatch round-trip each over the TPU tunnel)
-    by_b = {}
-    for bi, l in pick:
-        by_b.setdefault(bi, []).append(l)
-    parts = {
-        bi: jnp.asarray(np.asarray(ls, np.int32)) for bi, ls in by_b.items()
-    }
-    cg = jnp.concatenate(
-        [jnp.take(batches[bi][0], parts[bi], axis=0) for bi in by_b]
-    )
-    Gg = jnp.concatenate(
-        [jnp.take(batches[bi][1], parts[bi], axis=0) for bi in by_b]
-    )
-    hg = jnp.concatenate(
-        [jnp.take(batches[bi][2], parts[bi], axis=0) for bi in by_b]
-    )
-    xg = jnp.concatenate(
-        [jnp.take(results[bi].x, parts[bi], axis=0)[:, :n] for bi in by_b]
-    )
-    yg = jnp.concatenate(
-        [jnp.take(results[bi].y, parts[bi], axis=0) for bi in by_b]
-    )
-    xg_full = jnp.concatenate(
-        [jnp.take(results[bi].x, parts[bi], axis=0) for bi in by_b]
-    )
     if recover_cfg is None or maxiters is None:
         auto_cfg, auto_iters = exact_cleanup_config(m)
         recover_cfg = recover_cfg or auto_cfg
         maxiters = maxiters or auto_iters
-    # Tapia indicator x/s rebuilt from the IPM iterate (the dual slack of
-    # the slack-extended system is s = [c - G'y; -y]); measured to cut
-    # repair pivots 11x at m=1024 vs magnitude ranking (see
-    # crossover.ipm_crossover_batch_canonical)
+
+    # Everything below stays ON DEVICE in a handful of jitted calls: the
+    # first pooled implementation gathered/scattered through numpy copies
+    # of the full result arrays, and that host glue measured 0.73-1.9 s --
+    # 8x the 0.09 s the m=512 crossover itself took over the TPU tunnel.
+    bidx = jnp.asarray(np.asarray([p[0] for p in pick], np.int32))
+    lidx = jnp.asarray(np.asarray([p[1] for p in pick], np.int32))
+    cs = jnp.stack([b[0] for b in batches])
+    Gs = jnp.stack([b[1] for b in batches])
+    hs = jnp.stack([b[2] for b in batches])
+    xs = jnp.stack([r.x for r in results])
+    has_y = all(r.y is not None for r in results)
+    ys = (jnp.stack([r.y for r in results]) if has_y
+          else jnp.zeros(hs.shape, hs.dtype))
+    cg, Gg, hg, xg, ind = _recovery_gather(cs, Gs, hs, xs, ys, bidx, lidx)
+    if not has_y:  # no duals stored: fall back to magnitude ranking
+        ind = None
+    sub, crossed = crossover_batch_canonical(
+        cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg, indicator=ind,
+    )
+    crossed_np = np.asarray(crossed)
+    if not crossed_np.any():
+        return list(results)
+    x_ext = _recovery_extend_x(sub.x, Gg, hg)
+
+    outs = {}
+    seen = set()
+    sel = {}
+    for k, (bi, lane) in enumerate(pick):
+        if not crossed_np[k] or (bi, lane) in seen:
+            continue
+        seen.add((bi, lane))
+        sel.setdefault(bi, []).append((lane, k))
+        statuses[bi] = statuses[bi].copy()
+        statuses[bi][lane] = st.OPTIMAL
+    for bi, pairs in sel.items():
+        idxl = jnp.asarray(np.asarray([p[0] for p in pairs], np.int32))
+        idxp = jnp.asarray(np.asarray([p[1] for p in pairs], np.int32))
+        r = results[bi]
+        x_n, basis_n, cost_n, iters_n, y_n = _recovery_scatter(
+            r.x, r.basis, r.cost, r.iters,
+            r.y if has_y
+            else jnp.zeros((r.x.shape[0], hg.shape[1]), hg.dtype),
+            x_ext, sub.basis, sub.cost, sub.iters, sub.y, idxl, idxp,
+        )
+        outs[bi] = BatchResult(
+            x=x_n, basis=basis_n, cost=cost_n, iters=iters_n,
+            status=jnp.asarray(statuses[bi]),
+            y=y_n if has_y else r.y,
+        )
+    return [outs.get(bi, results[bi]) for bi in range(len(results))]
+
+
+@jax.jit
+def _recovery_gather(cs, Gs, hs, xs, ys, bidx, lidx):
+    """Gather straggler lanes from stacked chunks + Tapia indicator.
+
+    ``cs[K,B,n], Gs[K,B,m,n], hs[K,B,m], xs[K,B,n+m], ys[K,B,m]``;
+    returns the bucket's ``(c, G, h, x_struct, indicator)``.  The Tapia
+    indicator ``x/s`` is rebuilt from the stored IPM iterate (the dual
+    slack of the slack-extended system is ``s = [c - G'y; -y]``) --
+    measured to cut repair pivots 11x at m=1024 vs magnitude ranking.
+    """
+    n = cs.shape[-1]
+    cg = cs[bidx, lidx]
+    Gg = Gs[bidx, lidx]
+    hg = hs[bidx, lidx]
+    xg_full = xs[bidx, lidx]
+    yg = ys[bidx, lidx]
     sg = jnp.concatenate(
-        [cg - jnp.einsum("bmn,bm->bn", Gg, yg), -yg], axis=1
+        [cg - jnp.einsum("bmn,bm->bn", Gg, yg, precision=_HIGHEST), -yg],
+        axis=1,
     )
     ind = jnp.maximum(xg_full, 0.0) / jnp.maximum(sg, 1e-30)
     ind = jnp.where(
         jnp.all(jnp.isfinite(ind), axis=1)[:, None], ind,
         jnp.maximum(xg_full, 0.0),
     )
-    sub, crossed = crossover_batch_canonical(
-        cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg, indicator=ind,
-    )
-    crossed = np.asarray(crossed)
-    if not crossed.any():
-        return list(results)
+    return cg, Gg, hg, xg_full[:, :n], ind
 
-    outs = {}
-    sub_x = np.asarray(sub.x)  # [bucket, n] structural space
-    sub_G = np.asarray(Gg)
-    sub_h = np.asarray(hg)
-    sub_basis = np.asarray(sub.basis)
-    sub_cost = np.asarray(sub.cost)
-    sub_iters = np.asarray(sub.iters)
-    sub_y = np.asarray(sub.y)
-    touched = sorted({bi for k, (bi, _) in enumerate(pick) if crossed[k]})
-    arrs = {
-        bi: dict(
-            x=np.asarray(results[bi].x).copy(),
-            basis=np.asarray(results[bi].basis).copy(),
-            cost=np.asarray(results[bi].cost).copy(),
-            iters=np.asarray(results[bi].iters).copy(),
-            y=np.asarray(results[bi].y).copy(),
-        )
-        for bi in touched
-    }
-    seen = set()
-    for k, (bi, lane) in enumerate(pick):
-        if not crossed[k] or (bi, lane) in seen:
-            continue
-        seen.add((bi, lane))
-        a = arrs[bi]
-        slack = sub_h[k] - sub_G[k] @ sub_x[k]
-        a["x"][lane] = np.concatenate([sub_x[k], np.maximum(slack, 0.0)])
-        a["basis"][lane] = sub_basis[k]
-        a["cost"][lane] = sub_cost[k]
-        a["iters"][lane] = a["iters"][lane] + sub_iters[k]
-        a["y"][lane] = sub_y[k]
-        statuses[bi][lane] = st.OPTIMAL
-    for bi in touched:
-        a = arrs[bi]
-        outs[bi] = BatchResult(
-            x=jnp.asarray(a["x"]), basis=jnp.asarray(a["basis"]),
-            cost=jnp.asarray(a["cost"]), iters=jnp.asarray(a["iters"]),
-            status=jnp.asarray(statuses[bi]), y=jnp.asarray(a["y"]),
-        )
-    return [outs.get(bi, results[bi]) for bi in range(len(results))]
+
+@jax.jit
+def _recovery_extend_x(sub_x, Gg, hg):
+    """Slack-extended exact-vertex x for the scatter-back."""
+    slack = hg - jnp.einsum("bmn,bn->bm", Gg, sub_x, precision=_HIGHEST)
+    return jnp.concatenate([sub_x, jnp.maximum(slack, 0.0)], axis=1)
+
+
+@jax.jit
+def _recovery_scatter(x, basis, cost, iters, y, x_ext, sub_basis, sub_cost,
+                      sub_iters, sub_y, idxl, idxp):
+    """Scatter crossed vertices back into one chunk's result arrays."""
+    return (
+        x.at[idxl].set(x_ext[idxp]),
+        basis.at[idxl].set(sub_basis[idxp]),
+        cost.at[idxl].set(sub_cost[idxp]),
+        iters.at[idxl].add(sub_iters[idxp]),
+        y.at[idxl].set(sub_y[idxp]),
+    )
 
 
 class IPMSolver:
