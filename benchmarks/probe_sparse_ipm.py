@@ -29,7 +29,8 @@ print(f"k_row={pat.k_row} k_col={pat.k_col} pairs={pat.pair_ids.shape[0]}",
 c, vals, h = jax.jit(
     lambda k: device_sparse_inequality_lps(k, B, rows, cols, m, n)
 )(jax.random.PRNGKey(0))
-cfg = IPMConfig(eps_rel=1e-3, maxiters=40)
+g = int(os.environ.get("GONDZIO", "0"))
+cfg = IPMConfig(eps_rel=1e-3, maxiters=40, gondzio=g)
 t0 = time.time()
 res = ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, (m, n), cfg,
                                         pattern=pat)
@@ -41,5 +42,5 @@ res = ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, (m, n), cfg,
 ns = int((np.asarray(res.status) == stt.OPTIMAL).sum())
 wall = time.time() - t0
 med = int(np.median(np.asarray(res.iters)))
-print(f"sparse ipm m={m} B={B}: {B/wall:.2f} LPs/s wall={wall:.2f}s "
+print(f"sparse ipm m={m} B={B} gondzio={cfg.gondzio}: {B/wall:.2f} LPs/s wall={wall:.2f}s "
       f"optimal={ns}/{B} median_iters={med}", flush=True)

@@ -83,6 +83,14 @@ class IPMConfig:
     # on the NORMALIZED terminal iterate (see ipm_solve_batch_standard).
     # None -> dtype-resolved default: 1e-6 in f64, 1e-4 in f32.
     cert_tol: Optional[float] = None
+    # Gondzio multiple centrality correctors per iteration: each reuses
+    # the ALREADY-FACTORED normal matrix (two GEMV solves) to push trial
+    # complementarity products back into [beta_min, beta_max] * mu and
+    # extend the step lengths -- textbook lever when the factorization
+    # dominates the iteration (large m / the sparse path: the corrector
+    # is ~free next to the m^3 factor).  A corrector is accepted per lane
+    # only if it extends both step lengths; 0 disables (legacy paths).
+    gondzio: int = 0
     dtype: str = "float32"
 
 
@@ -389,6 +397,29 @@ def _ipm_core(c, op, b, cfg: IPMConfig):
         dx, dy, ds = _direction(rxs)
         ap = cfg.frac * _step_to_boundary(x, dx)
         ad = cfg.frac * _step_to_boundary(s, ds)
+
+        # ---- Gondzio multiple centrality correctors (factor reuse) -------
+        mu_t = sigma * mu
+        for _ in range(cfg.gondzio):
+            # trial point at expanded steps; products outside the target
+            # band [0.1, 10] * mu_t get pushed back toward it
+            ap_t = jnp.minimum(1.2 * ap / cfg.frac, 1.0)
+            ad_t = jnp.minimum(1.2 * ad / cfg.frac, 1.0)
+            v = (x + ap_t[:, None] * dx) * (s + ad_t[:, None] * ds)
+            lo = 0.1 * mu_t[:, None]
+            hi = 10.0 * mu_t[:, None]
+            target = jnp.clip(v, lo, hi)
+            dx_c, dy_c, ds_c = _direction(v - target)
+            dx2, dy2, ds2 = dx + dx_c, dy + dy_c, ds + ds_c
+            ap2 = cfg.frac * _step_to_boundary(x, dx2)
+            ad2 = cfg.frac * _step_to_boundary(s, ds2)
+            # accept per lane only if BOTH step lengths extend
+            acc = ((ap2 >= ap) & (ad2 >= ad))[:, None]
+            dx = jnp.where(acc, dx2, dx)
+            dy = jnp.where(acc, dy2, dy)
+            ds = jnp.where(acc, ds2, ds)
+            ap = jnp.where(acc[:, 0], ap2, ap)
+            ad = jnp.where(acc[:, 0], ad2, ad)
 
         x_new = x + ap[:, None] * dx
         y_new = y + ad[:, None] * dy
