@@ -181,9 +181,45 @@ class _SparseSlackOp:
         return self._vals_absmax
 
 
+def _ruiz_sparse(rows, cols, vals, c, h, m, n, iters: int = 6):
+    """Per-lane Ruiz equilibration of shared-pattern sparse ``G``.
+
+    Returns ``(vals', c', h', row_scale, col_scale)`` with
+    ``G' = R G C`` (``R = diag(row_scale)``, ``C = diag(col_scale)``),
+    ``h' = R h`` and ``c' = C c``.  Mehrotra's iteration count is
+    scale-sensitive; measured on the m=2048 1% batch this cuts the median
+    from 13 toward the dense path's 8-10.  All segment ops run once per
+    solve on the ``[B, nnz]`` values -- noise next to one Newton step.
+    """
+    B = vals.shape[0]
+    r = jnp.ones((B, m), vals.dtype)
+    cl = jnp.ones((B, n), vals.dtype)
+
+    def rowmax(av):
+        return jax.vmap(
+            lambda a: jax.ops.segment_max(a, rows, num_segments=m)
+        )(av)
+
+    def colmax(av):
+        return jax.vmap(
+            lambda a: jax.ops.segment_max(a, cols, num_segments=n)
+        )(av)
+
+    for _ in range(iters):
+        av = jnp.abs(vals) * r[:, rows] * cl[:, cols]
+        rm = jnp.maximum(rowmax(av), 1e-12)
+        r = r / jnp.sqrt(rm)
+        av = jnp.abs(vals) * r[:, rows] * cl[:, cols]
+        cm = jnp.maximum(colmax(av), 1e-12)
+        cl = cl / jnp.sqrt(cm)
+    vals_s = vals * r[:, rows] * cl[:, cols]
+    return vals_s, c * cl, h * r, r, cl
+
+
 def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
                                      cfg: IPMConfig = DEFAULT_IPM_CONFIG,
-                                     pattern: SparsePattern | None = None):
+                                     pattern: SparsePattern | None = None,
+                                     equilibrate: bool = True):
     """Batched sparse IPM on canonical LPs ``min c'x, Gx <= h, x >= 0``.
 
     ``c[B, n], vals[B, nnz], h[B, m]`` with the COO pattern
@@ -194,7 +230,10 @@ def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
     variables), like :func:`ipm.ipm_solve_batch_canonical`.
 
     Pass a prebuilt :class:`SparsePattern` to amortize the host-side
-    padding/sort across calls on the same pattern.
+    padding/sort across calls on the same pattern.  ``equilibrate`` runs
+    a per-lane Ruiz scaling first and reports ``x``/``cost``/``y`` in the
+    ORIGINAL scaling (the KKT tolerance applies to the balanced system,
+    as in the PDHG family).
     """
     m, ng = shape
     if pattern is None:
@@ -214,17 +253,40 @@ def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
     cs = jnp.concatenate(
         [jnp.asarray(c, dt), jnp.zeros((B, m), dt)], axis=1
     )
-    state = _ipm_sparse_jit(
-        cs, jnp.asarray(vals), jnp.asarray(h), pat_dev, m, ng, cfg
+    res = _ipm_sparse_jit(
+        jnp.asarray(c), jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32), jnp.asarray(vals), jnp.asarray(h),
+        pat_dev, m, ng, cfg, equilibrate,
     )
-    return ipm_state_to_result(cs, state)
+    # report cost against the ORIGINAL cost vector (x is already unscaled)
+    return res._replace(cost=jnp.sum(cs * res.x, axis=1))
 
 
-@partial(jax.jit, static_argnames=("m", "ng", "cfg"))
-def _ipm_sparse_jit(cs, vals, h, pat_dev, m, ng, cfg: IPMConfig):
+@partial(jax.jit, static_argnames=("m", "ng", "cfg", "equilibrate"))
+def _ipm_sparse_jit(c, rows, cols, vals, h, pat_dev, m, ng,
+                    cfg: IPMConfig, equilibrate: bool):
     dt = jnp.dtype(cfg.dtype)
     pat_dev = dict(pat_dev)
     for k in ("row_mask", "col_mask"):
         pat_dev[k] = pat_dev[k].astype(dt)
-    op = _SparseSlackOp(pat_dev, vals.astype(dt), m, ng)
-    return _ipm_core(cs.astype(dt), op, h.astype(dt), cfg)
+    c = c.astype(dt)
+    vals = vals.astype(dt)
+    h = h.astype(dt)
+    B = vals.shape[0]
+    if equilibrate:
+        vals_s, c_s, h_s, r, cl = _ruiz_sparse(rows, cols, vals, c, h,
+                                               m, ng)
+    else:
+        vals_s, c_s, h_s = vals, c, h
+    cs = jnp.concatenate([c_s, jnp.zeros((B, m), dt)], axis=1)
+    op = _SparseSlackOp(pat_dev, vals_s, m, ng)
+    state = _ipm_core(cs, op, h_s, cfg)
+    res = ipm_state_to_result(cs, state)
+    if equilibrate:
+        # unscale: x_user = C x', slack = s'/r, y = R y' (certificate rays
+        # included -- a scaled Farkas/improving ray stays one unscaled)
+        x = jnp.concatenate(
+            [res.x[:, :ng] * cl, res.x[:, ng:] / r], axis=1
+        )
+        res = res._replace(x=x, y=res.y * r)
+    return res

@@ -107,8 +107,10 @@ def test_sparse_ipm_infeasible_certificate():
     h = h.copy()
     h[:, rows[0]] = -1.0
     cfg = IPMConfig(eps_rel=1e-3, maxiters=40)
+    # equilibrate=False: this arm pins EXACT verdict parity with the dense
+    # operator on the same data (the scaled system grades differently)
     res = ipm_solve_batch_sparse_canonical(
-        c, rows, cols, vals, h, (M, N), cfg
+        c, rows, cols, vals, h, (M, N), cfg, equilibrate=False
     )
     status = np.asarray(res.status)
     # no lane may read OPTIMAL; the Farkas tolerance certifies a subset at
