@@ -102,15 +102,20 @@ class SparsePattern:
             pos[j] = i + 1
 
         # --- pair-scatter plan: N[i1, i2] += d_j v_a v_b per column -------
-        # flat ids i1*m + i2 over the padded [n, k, k] pair block; padded
-        # entries carry value 0 (mask product) and target segment 0.
-        i1 = col_rows[:, :, None]
-        i2 = col_rows[:, None, :]
+        # N is SYMMETRIC: only the i1 <= i2 half is scattered (the mirror
+        # is one cheap transpose-add), halving the dominant segment-sum
+        # traffic.  Flat ids i1*m + i2 over the padded [n, k, k] pair
+        # block; padded/upper entries are DROPPED from the plan entirely
+        # (the gather permutation keeps only live pairs).
+        i1 = col_rows[:, :, None].astype(np.int64)
+        i2 = col_rows[:, None, :].astype(np.int64)
         pm = (col_mask[:, :, None] * col_mask[:, None, :]) > 0
-        flat = np.where(pm, i1.astype(np.int64) * m + i2, 0).reshape(-1)
-        perm = np.argsort(flat, kind="stable")
-        self.pair_perm = perm.astype(np.int32)
-        self.pair_ids = flat[perm].astype(np.int32)
+        pm &= i1 <= i2
+        flat = np.where(pm, i1 * m + i2, -1).reshape(-1)
+        live = np.flatnonzero(flat >= 0)
+        order = np.argsort(flat[live], kind="stable")
+        self.pair_perm = live[order].astype(np.int32)
+        self.pair_ids = flat[live][order].astype(np.int32)
 
         self.k_row, self.k_col = k_row, k_col
         self.row_cols, self.row_slot = row_cols, row_slot
@@ -161,7 +166,12 @@ class _SparseSlackOp:
         return jnp.concatenate([self._gty(w), w], axis=1)
 
     def normal(self, d):
-        """``G D_g G' + diag(D_s)`` via the pre-sorted pair segment-sum."""
+        """``G D_g G' + diag(D_s)`` via the pre-sorted pair segment-sum.
+
+        Only the lower-triangular half of each column's outer product is
+        scattered (the plan drops upper/padded pairs); the full symmetric
+        matrix is recovered with one transpose-add and a diagonal fix.
+        """
         dg = d[:, : self.ng]
         ds = d[:, self.ng:]
         pv = (dg[:, :, None, None]
@@ -173,9 +183,11 @@ class _SparseSlackOp:
             num_segments=self.m * self.m,
             indices_are_sorted=True,
         )
-        N = jax.vmap(seg)(pv).reshape(self.B, self.m, self.m)
+        U = jax.vmap(seg)(pv).reshape(self.B, self.m, self.m)
+        N = U + jnp.swapaxes(U, 1, 2)
         idx = jnp.arange(self.m)
-        return N.at[:, idx, idx].add(ds)
+        diagU = jnp.diagonal(U, axis1=1, axis2=2)
+        return N.at[:, idx, idx].add(ds - diagU)
 
     def max_abs(self):
         return self._vals_absmax
