@@ -609,6 +609,46 @@ def run_sparse_ipm(jax, m, n, chunk, density=0.01):
     }
 
 
+def run_exact4096(jax, chunk=4):
+    """m=4096 EXACT datapoint: dense IPM -> blocked-stream-kernel crossover.
+
+    VERDICT r3 item 10: exact requests at m>=4096 previously fell to the
+    XLA two-phase simplex at 0.064 LPs/s (22 s/LP, measured round 2).
+    The IPM->crossover route measures ~1 LPs/s (15x) with the crossed
+    lanes carrying verified exact vertices (dd-polished; HiGHS-checked
+    ~1e-7 in the round-4 probe); uncrossed lanes keep their IPM answer
+    and are reported honestly -- route them to the old fallback only if
+    vertex certificates are required for every lane."""
+    from linprog_tpu.config import tuned_config
+    from linprog_tpu.crossover import ipm_crossover_batch_canonical
+    from linprog_tpu.generators import device_inequality_lps
+
+    m = n = 4096
+    c, G, h = jax.jit(lambda k: device_inequality_lps(k, chunk, m, n))(
+        jax.random.PRNGKey(0))
+    cfg = tuned_config(m, refactor_every=384, polish_pivots=4, unroll=1)
+
+    def run():
+        return ipm_crossover_batch_canonical(
+            c, G, h, crossover_maxiters=768, cfg=cfg)
+
+    res, crossed = run()
+    np.asarray(res.cost)
+    t0 = time.time()
+    res, crossed = run()
+    nc = int(np.asarray(crossed).sum())
+    wall = time.time() - t0
+    return {
+        "lps_per_sec": round(chunk / wall, 3),
+        "wall_sec": round(wall, 3),
+        "crossed": nc,
+        "lanes": chunk,
+        # round-2 measured XLA two-phase fallback at this size (22 s/LP)
+        "xla_fallback_lps_per_sec": 0.064,
+        "vs_xla_fallback": round(chunk / wall / 0.064, 1),
+    }
+
+
 def run_router(jax, m, n, chunk):
     """Auto-router datapoint: records the family chosen for this regime
     (must match the measured per-family optimum) and its throughput."""
@@ -741,6 +781,8 @@ def main():
         # the sparse scaling frontier (round 4): shared-pattern sparse IPM
         # vs the sparse PDHG on the same instances
         extras["sparse_ipm_m2048"] = run_sparse_ipm(jax, 2048, 2048, 128)
+        # m=4096 exact route (round 4): 15x the XLA fallback
+        extras["exact_m4096"] = run_exact4096(jax)
         # auto-router: family choice must match the measured optimum for
         # the regime (m=512 at eps 1e-3 -> ipm)
         extras["router_m512"] = run_router(jax, 512, 512, 128)
