@@ -615,10 +615,13 @@ def run_exact4096(jax, chunk=4):
     VERDICT r3 item 10: exact requests at m>=4096 previously fell to the
     XLA two-phase simplex at 0.064 LPs/s (22 s/LP, measured round 2).
     The IPM->crossover route measures ~1 LPs/s (15x) with the crossed
-    lanes carrying verified exact vertices (dd-polished; HiGHS-checked
-    ~1e-7 in the round-4 probe); uncrossed lanes keep their IPM answer
-    and are reported honestly -- route them to the old fallback only if
-    vertex certificates are required for every lane."""
+    lanes carrying verified exact vertices (exact factorized bfs,
+    feasibility-verified, dd-polished -- the same verification contract
+    HiGHS-checked at 1e-7..1e-8 on the m=256/1024 legs; a single-core
+    HiGHS reference at m=4096 runs hours and is not re-derived here);
+    uncrossed lanes keep their IPM answer and are reported honestly --
+    route them to the old fallback only if vertex certificates are
+    required for every lane."""
     from linprog_tpu.config import tuned_config
     from linprog_tpu.crossover import ipm_crossover_batch_canonical
     from linprog_tpu.generators import device_inequality_lps
