@@ -398,6 +398,17 @@ def _ipm_core(c, op, b, cfg: IPMConfig):
         ap = cfg.frac * _step_to_boundary(x, dx)
         ad = cfg.frac * _step_to_boundary(s, ds)
 
+        def _direction_corrector(rxs):
+            # residual-free variant for centrality correctors: the composite
+            # direction dx + dx_c must cancel rb/rc exactly ONCE (the main
+            # Mehrotra direction already carries them), so the corrector
+            # solves the KKT system with rb = rc = 0:
+            #   A D A' dy = A (rxs/s);  ds = -A'dy;  dx = -rxs/s - d*ds
+            dy = _chol_solve(L, op.mv(rxs / s_safe))
+            ds = -op.mtv(dy)
+            dx = -rxs / s_safe - d * ds
+            return dx, dy, ds
+
         # ---- Gondzio multiple centrality correctors (factor reuse) -------
         mu_t = sigma * mu
         for _ in range(cfg.gondzio):
@@ -409,7 +420,7 @@ def _ipm_core(c, op, b, cfg: IPMConfig):
             lo = 0.1 * mu_t[:, None]
             hi = 10.0 * mu_t[:, None]
             target = jnp.clip(v, lo, hi)
-            dx_c, dy_c, ds_c = _direction(v - target)
+            dx_c, dy_c, ds_c = _direction_corrector(v - target)
             dx2, dy2, ds2 = dx + dx_c, dy + dy_c, ds + ds_c
             ap2 = cfg.frac * _step_to_boundary(x, dx2)
             ad2 = cfg.frac * _step_to_boundary(s, ds2)

@@ -219,10 +219,16 @@ def _ruiz_sparse(rows, cols, vals, c, h, m, n, iters: int = 6):
 
     for _ in range(iters):
         av = jnp.abs(vals) * r[:, rows] * cl[:, cols]
-        rm = jnp.maximum(rowmax(av), 1e-12)
+        # empty rows/columns make segment_max return -inf (and all-zero
+        # segments return 0); clamping those to a tiny positive number
+        # would grow the scale ~1e6x PER ITERATION and overflow f32 --
+        # leave such segments unscaled instead
+        rm = rowmax(av)
+        rm = jnp.where(rm > 0, rm, 1.0)
         r = r / jnp.sqrt(rm)
         av = jnp.abs(vals) * r[:, rows] * cl[:, cols]
-        cm = jnp.maximum(colmax(av), 1e-12)
+        cm = colmax(av)
+        cm = jnp.where(cm > 0, cm, 1.0)
         cl = cl / jnp.sqrt(cm)
     vals_s = vals * r[:, rows] * cl[:, cols]
     return vals_s, c * cl, h * r, r, cl

@@ -358,3 +358,24 @@ def test_pooled_straggler_recovery_across_chunks():
                     1, abs(ref.fun)
                 )
                 assert gap < 2e-5, (bi, i, gap)
+
+
+def test_gondzio_correctors_converge_to_same_accuracy():
+    """ADVICE r4 (medium): the Gondzio corrector must use a RESIDUAL-FREE
+    direction solve -- composing the full-residual closure cancels rb/rc
+    twice and distorts the Newton direction.  With the fix, gondzio=2 must
+    reach the same f64 KKT class in no more iterations than the baseline."""
+    B, m, n = 8, 24, 24
+    c, G, h = random_inequality_lps(B, m, n, seed=3, dtype=np.float64)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    base = ipm_solve_batch_canonical(c, G, h, CFG)
+    gz = ipm_solve_batch_canonical(
+        c, G, h, dataclasses.replace(CFG, gondzio=2)
+    )
+    assert np.all(np.asarray(gz.status) == st.OPTIMAL)
+    assert np.allclose(
+        np.asarray(gz.cost), np.asarray(base.cost), rtol=1e-6, atol=1e-6
+    )
+    # the corrector reuses the factorization to EXTEND steps: it must not
+    # cost extra Newton iterations anywhere
+    assert np.all(np.asarray(gz.iters) <= np.asarray(base.iters) + 1)

@@ -141,3 +141,27 @@ def test_device_sparse_generator_matches_host_construction():
         bounds=(0, None), method="highs",
     )
     assert ref.status == 0
+
+
+def test_ruiz_handles_empty_rows_and_columns():
+    """ADVICE r4: a pattern with an empty row/column made segment_max
+    return -inf, clamped to 1e-12 -- the scale then grew ~1e6x per Ruiz
+    iteration and overflowed f32.  Empty segments must stay unscaled."""
+    from linprog_tpu.ipm_sparse import _ruiz_sparse
+
+    m = n = 6
+    # rows 0/5 and columns 0/5 have no nonzeros
+    rows = np.array([1, 2, 3, 4], np.int32)
+    cols = np.array([2, 1, 4, 3], np.int32)
+    vals = jnp.asarray(np.array([[2.0, 0.5, 8.0, 1.0]], np.float32))
+    c = jnp.ones((1, n), jnp.float32)
+    h = jnp.ones((1, m), jnp.float32)
+    vals_s, c_s, h_s, r, cl = _ruiz_sparse(
+        jnp.asarray(rows), jnp.asarray(cols), vals, c, h, m, n
+    )
+    assert np.all(np.isfinite(np.asarray(r)))
+    assert np.all(np.isfinite(np.asarray(cl)))
+    # empty segments keep scale 1; live entries are equilibrated to ~1
+    assert np.asarray(r)[0, 0] == pytest.approx(1.0)
+    assert np.asarray(cl)[0, 5] == pytest.approx(1.0)
+    assert np.allclose(np.abs(np.asarray(vals_s)), 1.0, atol=1e-3)

@@ -160,3 +160,64 @@ def test_calibration_partial_table_falls_back_to_default():
         assert t["seg_by_m"]
     finally:
         calibration.reset_table()
+
+
+def test_env_override_without_default_falls_back_to_packaged(tmp_path,
+                                                             monkeypatch):
+    """ADVICE r4: LINPROG_TPU_CALIBRATION pointing at an override file
+    WITHOUT a 'default' entry used to re-read the same override for the
+    fallback, so missing keys raised KeyError downstream.  The packaged
+    v5e defaults must fill the gaps regardless of the override source."""
+    import json
+
+    from linprog_tpu import calibration
+    from linprog_tpu.config import tuned_config
+
+    p = tmp_path / "override.json"
+    p.write_text(json.dumps({"weird-chip": {"exact_simplex_max_m": 9}}))
+    monkeypatch.setenv("LINPROG_TPU_CALIBRATION", str(p))
+    calibration.reset_table()  # drop the cached packaged file
+    try:
+        t = calibration.get_table("weird-chip")
+        assert t["exact_simplex_max_m"] == 9
+        assert t["pdhg_min_m"] == 4096  # packaged default fills the gap
+        assert calibration.seg_for_m(256, "weird-chip") > 0
+    finally:
+        monkeypatch.delenv("LINPROG_TPU_CALIBRATION")
+        calibration.reset_table()
+
+
+def test_calibrate_measures_every_table_key():
+    """VERDICT r4 weak 5: calibrate() used to measure only the two simplex
+    thresholds; every routing key must now be derived from live timings
+    (tiny sizes here -- the values are CPU-meaningless, the MEASUREMENT
+    coverage is what's under test)."""
+    from linprog_tpu import calibration
+
+    out = calibration.calibrate(sizes=(16,), lanes=4, seg_grid=(8, 16),
+                                pdhg_sizes=(16,), pdhg_lanes=4)
+    (kind, table), = out.items()
+    assert set(table["_measured"]) == {
+        "exact_simplex_max_m", "moderate_simplex_max_m",
+        "xover_pallas_max_m", "exact_eps", "seg_by_m", "pdhg_min_m",
+    }
+    assert table["seg_by_m"][0][0] == 16  # measured knee row
+    assert table["seg_by_m"][-1][0] == 0  # terminal row retained
+
+
+def test_shipped_calibration_has_no_copied_chip_entries():
+    """VERDICT r4 weak 5: the shipped 'TPU v5 lite' entry was a byte-copy
+    of 'default'.  Any non-default chip entry in the packaged data file
+    must carry a '_measured' provenance list (i.e. come from calibrate())."""
+    import json
+
+    from linprog_tpu.calibration import _DATA_PATH
+
+    with open(_DATA_PATH) as f:
+        data = json.load(f)
+    for kind, entry in data.items():
+        if kind in ("_comment", "default"):
+            continue
+        assert "_measured" in entry, (
+            f"chip entry {kind!r} lacks measurement provenance"
+        )
