@@ -470,7 +470,12 @@ def run_ipm_batch(jax, m, n, chunk, chunks=4):
         "recovered_optimal": ns,
         "lanes": lanes,
         "chunks": chunks,
-        "median_iters": int(np.median(np.asarray(recs[0].iters))),
+        # RAW Newton-step median across ALL chunks (the first-chunk
+        # post-recovery median mixed crossover pivots in and ignored
+        # 3/4 of the lanes -- ADVICE r4)
+        "median_iters": int(np.median(np.concatenate(
+            [np.asarray(r.iters) for r in raws]
+        ))),
         "eps_rel": 1e-3,
         "efficiency": _efficiency(
             total_iters, raw_wall, 2 * m * n * m + 2 * m**3
@@ -478,44 +483,43 @@ def run_ipm_batch(jax, m, n, chunk, chunks=4):
     }
 
 
-def run_ipm_crossover(jax, m, n, chunk, highs_samples=2, guess="tapia"):
-    """IPM -> crossover pipeline: exact vertices from the fastest family.
+def run_ipm_crossover(jax, m, n, chunk, highs_samples=2):
+    """Exact-pipeline leg: IPM -> crossover -> simplex fallback, certified.
 
-    The round-2 verdict's top item, measured end-to-end: batched Mehrotra
-    to the f32 KKT floor, then the dual-then-primal crossover cleanup that
-    repairs primal-infeasible basis guesses (crossover.py).  Reports the
-    crossed-lane count and the HiGHS-checked objective gap of the exact
-    vertices.  Cleanup settings come from the shared
-    ``router.exact_cleanup_config`` (round 4: Pallas kernels past m=512
-    too -- the XLA cleanup ran m=1024 at 7.75 LPs/s)."""
-    from linprog_tpu.crossover import ipm_crossover_batch_canonical
+    Round 5 (VERDICT r4 items 1+2): the leg now runs
+    ``router.solve_batch_exact`` END TO END -- the gathered two-phase
+    fallback for any uncrossed lane is INSIDE the measured wall, so the
+    reported vertex-exact count is every lane, reproducibly (f32
+    reduction nondeterminism may move a lane between the crossover and
+    the fallback path, but not out of exactness).  Every lane's returned
+    basis is then verified against the full KKT system with double-word
+    residuals (``certify.certify_vertex_batch``) -- oracle-free evidence
+    of the same contract the HiGHS gap samples spot-check."""
+    from linprog_tpu.certify import certificate_summary, certify_vertex_batch
     from linprog_tpu.generators import device_inequality_lps
-    from linprog_tpu.router import exact_cleanup_config
+    from linprog_tpu.router import solve_batch_exact
 
     c, G, h = device_inequality_lps(jax.random.PRNGKey(0), chunk, m, n)
-    cfg, budget = exact_cleanup_config(m)
 
     def run():
-        return ipm_crossover_batch_canonical(
-            c, G, h, crossover_maxiters=budget, cfg=cfg, guess=guess
-        )
+        return solve_batch_exact(c, G, h)
 
-    res, crossed = run()  # compile + warm
+    res, info = run()  # compile + warm (incl. the fallback bucket if hit)
     np.asarray(res.cost)
     t0 = time.time()
-    res, crossed = run()
-    n_crossed = int(np.asarray(crossed).sum())
+    res, info = run()
+    np.asarray(res.cost)
     wall = time.time() - t0
+    t1 = time.time()
+    cert = certificate_summary(certify_vertex_batch(c, G, h, res.basis))
+    cert_wall = time.time() - t1
 
     gaps = []
     try:
         from scipy.optimize import linprog as scipy_linprog
 
         costs = np.asarray(res.cost)
-        ok = np.asarray(crossed)
         for i in range(min(highs_samples, chunk)):
-            if not ok[i]:
-                continue
             ref = scipy_linprog(
                 np.asarray(c[i]), A_ub=np.asarray(G[i]),
                 b_ub=np.asarray(h[i]), bounds=(0, None), method="highs",
@@ -529,8 +533,12 @@ def run_ipm_crossover(jax, m, n, chunk, highs_samples=2, guess="tapia"):
     return {
         "lps_per_sec": round(chunk / wall, 2),
         "wall_sec": round(wall, 3),
-        "crossed": n_crossed,
+        "crossed": info["crossed"],
+        "fallback": info["fallback"],
         "lanes": chunk,
+        "certified": cert["certified"],
+        "cert": cert,
+        "cert_wall_sec": round(cert_wall, 3),
         "max_rel_gap_vs_highs": float(f"{max(gaps):.3e}") if gaps else None,
     }
 
@@ -610,42 +618,48 @@ def run_sparse_ipm(jax, m, n, chunk, density=0.01):
 
 
 def run_exact4096(jax, chunk=4):
-    """m=4096 EXACT datapoint: dense IPM -> blocked-stream-kernel crossover.
+    """m=4096 EXACT datapoint: the full exact pipeline, self-certified.
 
-    VERDICT r3 item 10: exact requests at m>=4096 previously fell to the
-    XLA two-phase simplex at 0.064 LPs/s (22 s/LP, measured round 2).
-    The IPM->crossover route measures ~1 LPs/s (15x) with the crossed
-    lanes carrying verified exact vertices (exact factorized bfs,
-    feasibility-verified, dd-polished -- the same verification contract
-    HiGHS-checked at 1e-7..1e-8 on the m=256/1024 legs; a single-core
-    HiGHS reference at m=4096 runs hours and is not re-derived here);
-    uncrossed lanes keep their IPM answer and are reported honestly --
-    route them to the old fallback only if vertex certificates are
-    required for every lane."""
-    from linprog_tpu.config import tuned_config
-    from linprog_tpu.crossover import ipm_crossover_batch_canonical
+    Round 5 (VERDICT r4 items 1+2): the leg runs
+    ``router.solve_batch_exact`` -- IPM -> blocked-stream-kernel
+    crossover at ``exact_cleanup_config(4096)`` (seg=384, budget 2048;
+    the round-4 leg ran budget 768 and shipped 2/4) -> gathered
+    two-phase fallback for any uncrossed lane, ALL inside the measured
+    wall.  No HiGHS oracle exists at this size (hours per instance), so
+    every lane's returned basis is verified on device against the full
+    KKT system with double-word residuals (``certify``): exact
+    refactorized B^-1 h >= 0, reduced costs >= 0, primal residual and
+    duality gap at the ~1e-7 class.  ``certified == lanes`` is the
+    oracle-free optimality evidence."""
+    from linprog_tpu.certify import certificate_summary, certify_vertex_batch
     from linprog_tpu.generators import device_inequality_lps
+    from linprog_tpu.router import solve_batch_exact
 
     m = n = 4096
     c, G, h = jax.jit(lambda k: device_inequality_lps(k, chunk, m, n))(
         jax.random.PRNGKey(0))
-    cfg = tuned_config(m, refactor_every=384, polish_pivots=4, unroll=1)
 
     def run():
-        return ipm_crossover_batch_canonical(
-            c, G, h, crossover_maxiters=768, cfg=cfg)
+        return solve_batch_exact(c, G, h)
 
-    res, crossed = run()
+    res, info = run()
     np.asarray(res.cost)
     t0 = time.time()
-    res, crossed = run()
-    nc = int(np.asarray(crossed).sum())
+    res, info = run()
+    np.asarray(res.cost)
     wall = time.time() - t0
+    t1 = time.time()
+    cert = certificate_summary(certify_vertex_batch(c, G, h, res.basis))
+    cert_wall = time.time() - t1
     return {
         "lps_per_sec": round(chunk / wall, 3),
         "wall_sec": round(wall, 3),
-        "crossed": nc,
+        "crossed": info["crossed"],
+        "fallback": info["fallback"],
         "lanes": chunk,
+        "certified": cert["certified"],
+        "cert": cert,
+        "cert_wall_sec": round(cert_wall, 3),
         # round-2 measured XLA two-phase fallback at this size (22 s/LP)
         "xla_fallback_lps_per_sec": 0.064,
         "vs_xla_fallback": round(chunk / wall / 0.064, 1),
@@ -678,6 +692,41 @@ def run_router(jax, m, n, chunk):
         "lanes": chunk,
         "accuracy": 1e-3,
     }
+
+
+def _digest_leg(leg):
+    """One extra-leg dict -> a compact evidence row (VERDICT r4 item 3).
+
+    Keeps the 3-5 numbers each round's claims rest on: throughput,
+    recovered throughput, optimal/crossed/certified counts vs lanes, and
+    the accuracy evidence -- so every leg survives the driver's
+    2000-char stdout tail even when the full JSON does not."""
+    if not isinstance(leg, dict):
+        return leg
+    row = {}
+    for src, dst in (
+        ("lps_per_sec", "lps"),
+        ("recovered_lps_per_sec", "rec_lps"),
+        ("vs_baseline", "x"),
+        ("optimal", "opt"),
+        ("recovered_optimal", "rec_opt"),
+        ("crossed", "crossed"),
+        ("fallback", "fb"),
+        ("certified", "cert"),
+        ("lanes", "lanes"),
+        ("max_rel_gap_vs_highs", "gap"),
+        ("family", "fam"),
+    ):
+        v = leg.get(src)
+        if v is not None and v == v:  # drop None/NaN
+            row[dst] = v
+    ls = leg.get("lane_status")
+    if ls and "opt" not in row:
+        row["opt"] = ls.get("optimal")
+    cert = leg.get("cert")
+    if cert:
+        row["kkt"] = max(cert["max_primal_residual"], cert["max_gap"])
+    return row
 
 
 def main():
@@ -811,10 +860,21 @@ def main():
     for k, v in extras.items():
         out[k] = v
     print(json.dumps(out), flush=True)
-    # VERDICT r3 item 1: the driver keeps only the TAIL of the bench
-    # output, and the full JSON above grew past it (round 3's headline
-    # survived only in a commit message).  Re-print a compact headline
-    # line LAST so the tail always parses to the headline number.
+    # Persist the FULL artifact: the driver keeps only a ~2000-char tail
+    # of stdout, and rounds 3+4 both lost extra-leg evidence to it.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_NOTES.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except Exception:
+        pass
+    # VERDICT r4 item 3: a COMPACT digest line compressing every extra to
+    # its key numbers, printed before the headline so both fit the tail.
+    print(json.dumps({"digest": {k: _digest_leg(v)
+                                 for k, v in extras.items()}},
+                     separators=(",", ":")), flush=True)
+    # VERDICT r3 item 1: re-print a compact headline line LAST so the
+    # tail always parses to the headline number.
     headline = {
         "metric": out["metric"],
         "value": out["value"],

@@ -1,0 +1,145 @@
+"""Oracle-free per-lane vertex certificates (double-word KKT residuals).
+
+The reference's value system is CHECKABLE optima: every solver answer in
+its suite is compared against a published textbook optimum
+(``/root/reference/tests/problems.py:18-153``).  The TPU framework's
+bench surface extends to sizes where no external oracle is affordable
+(a single-core HiGHS solve at m=4096 runs for hours), so the exact
+pipeline must carry its own certificate: given the basis a lane reports,
+verify ALL FOUR KKT conditions of the canonical LP
+
+    min c'x   s.t.  G x <= h,  x >= 0        (slack-extended A = [G | I])
+
+directly from the problem data, at an accuracy class far below the f32
+solve floor:
+
+* **primal feasibility**  ``B x_B = h`` with ``x_B >= 0``: the basis
+  matrix is refactorized from scratch, the basic solution iteratively
+  refined with double-word residuals (:mod:`linprog_tpu.refine`), and
+  the residual norm reported in the eps^2 class (~1e-7 relative).
+* **dual feasibility** ``y B = c_B`` with reduced costs
+  ``c - y G >= 0`` and ``-y >= 0`` (slack columns), again dd-refined.
+* **complementarity / zero duality gap** ``c_B'x_B == h'y`` via
+  compensated dot products.
+
+A lane passing all four IS optimal up to the reported residuals -- no
+HiGHS run required.  This is strictly stronger evidence than an
+objective comparison: it checks the returned BASIS, not just the value.
+
+Everything runs on device in f32 with Dekker-split/TwoSum compensated
+arithmetic (dd: ~2^-48 effective precision), so it works on TPUs with no
+native f64 at f64-class accuracy.  Cost: one m^3 inversion + a handful
+of O(m^2) passes per lane -- noise next to the solve it certifies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .refine import dd_dot, dd_residual, dd_residual_rowmat, refine_bfs, refine_duals
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def certify_vertex_batch(c, G, h, basis):
+    """Verify each lane's basis against the full KKT system (dd accuracy).
+
+    ``c[B, n], G[B, m, n], h[B, m]`` define the canonical LPs;
+    ``basis[B, m]`` indexes columns of the slack-extended ``[G | I]``
+    (the convention of :mod:`linprog_tpu.crossover` /
+    :func:`linprog_tpu.router.solve_batch_exact`).
+
+    Returns a dict of per-lane arrays:
+
+    ``certified``
+        bool -- all four KKT conditions hold to the tolerances below.
+    ``primal_residual``
+        relative ``||B x_B - h||_inf`` after dd refinement.
+    ``min_xB``
+        scaled ``min x_B`` (>= -1e-5 required: primal feasibility).
+    ``min_reduced_cost``
+        scaled ``min(c - y G, -y)`` (>= -1e-5 required: dual feasibility).
+    ``gap``
+        relative duality gap ``|c_B'x_B - h'y|`` (<= 1e-5 required).
+
+    Tolerance 1e-5 relative sits ~100x above the dd computation noise and
+    ~50x below the f32 pricing floor -- a lane at a WRONG vertex misses by
+    orders of magnitude (one mis-pivoted basis flips a reduced cost or a
+    basic value negative at the 1e-2..1e-4 scale).
+    """
+    B, m, n = G.shape
+    dt = G.dtype
+    tol = 1e-5
+
+    safe = jnp.clip(basis, 0, n - 1)  # [B, m]
+    struct_cols = jnp.take_along_axis(
+        G, safe[:, None, :], axis=2
+    )  # [B, m, m]: column k = G[:, basis_k]
+    slack_idx = jnp.clip(basis - n, 0, m - 1)
+    eye_cols = jnp.swapaxes(
+        jax.nn.one_hot(slack_idx, m, dtype=dt), 1, 2
+    )  # [B, m, m]: column k = e_{basis_k - n}
+    is_struct = (basis < n)[:, None, :]
+    B_mat = jnp.where(is_struct, struct_cols, eye_cols)
+
+    inv_B = jnp.linalg.inv(B_mat)
+    xB = jnp.einsum("bmk,bk->bm", inv_B, h, precision=_HIGHEST)
+    xB = refine_bfs(B_mat, h, inv_B, xB, steps=2)
+    rp = dd_residual(h, B_mat, xB)
+    h_scale = 1.0 + jnp.max(jnp.abs(h), axis=1)
+    primal_residual = jnp.max(jnp.abs(rp), axis=1) / h_scale
+    min_xB = jnp.min(xB, axis=1) / h_scale
+
+    cB = jnp.where(
+        basis < n, jnp.take_along_axis(c, safe, axis=1), jnp.zeros((), dt)
+    )
+    y = refine_duals(cB, B_mat, inv_B, steps=2)
+    rc_struct = dd_residual_rowmat(c, y, G)  # c - y G, dd
+    c_scale = 1.0 + jnp.max(jnp.abs(c), axis=1)
+    min_rc = jnp.minimum(
+        jnp.min(rc_struct, axis=1), jnp.min(-y, axis=1)
+    ) / c_scale
+
+    pobj = dd_dot(cB, xB)
+    dobj = dd_dot(h, y)
+    gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
+
+    finite = (
+        jnp.all(jnp.isfinite(xB), axis=1) & jnp.all(jnp.isfinite(y), axis=1)
+    )
+    certified = (
+        finite
+        & (primal_residual <= tol)
+        & (min_xB >= -tol)
+        & (min_rc >= -tol)
+        & (gap <= tol)
+    )
+    return {
+        "certified": certified,
+        "primal_residual": primal_residual,
+        "min_xB": min_xB,
+        "min_reduced_cost": min_rc,
+        "gap": gap,
+    }
+
+
+def certificate_summary(cert: dict) -> dict:
+    """Host-side digest of :func:`certify_vertex_batch` for bench/report
+    artifacts: certified count + the worst residual of each condition."""
+    import numpy as np
+
+    ok = np.asarray(cert["certified"])
+    return {
+        "certified": int(ok.sum()),
+        "lanes": int(ok.size),
+        "max_primal_residual": float(
+            f"{np.max(np.asarray(cert['primal_residual'])):.3e}"
+        ),
+        "min_xB": float(f"{np.min(np.asarray(cert['min_xB'])):.3e}"),
+        "min_reduced_cost": float(
+            f"{np.min(np.asarray(cert['min_reduced_cost'])):.3e}"
+        ),
+        "max_gap": float(f"{np.max(np.asarray(cert['gap'])):.3e}"),
+    }

@@ -78,8 +78,17 @@ def exact_cleanup_config(m: int, maxiters: Optional[int] = None):
     """
     if m <= _xover_pallas_max_m():
         return tuned_config(m), (maxiters or 512)
+    if m < 3072:
+        return (
+            tuned_config(m, refactor_every=128, unroll=2),
+            (maxiters or 2048),
+        )
+    # blocked-factor stream regime: the round-4 m=4096 probe measured
+    # seg=384 / unroll=1 / polish=4 at 0.98 LPs/s, 3/4 crossed at budget
+    # 2048 (the tight-128 cadence pays a full 4096^2-factor refactor per
+    # 128 pivots and lost ~30%)
     return (
-        tuned_config(m, refactor_every=128, unroll=2),
+        tuned_config(m, refactor_every=384, unroll=1, polish_pivots=4),
         (maxiters or 2048),
     )
 
