@@ -564,6 +564,8 @@ def run_sparse_ipm(jax, m, n, chunk, density=0.01):
     )
     from linprog_tpu.pdhg import PDHGConfig, pdhg_solve_batch_sparse
 
+    from linprog_tpu.ipm_sparse import recover_stragglers_sparse
+
     rows, cols = random_sparse_pattern(m, n, density, seed=0)
     pat = SparsePattern(rows, cols, m, n)
     c, vals, h = jax.jit(
@@ -582,6 +584,16 @@ def run_sparse_ipm(jax, m, n, chunk, density=0.01):
     res = ipm()
     ns = int((np.asarray(res.status) == stt.OPTIMAL).sum())
     wall = time.time() - t0
+    # recovered leg (round 5, VERDICT r4 item 4): densify ONLY the
+    # straggler bucket and repair it through the pooled dense crossover;
+    # warm covers the bucket's compile (same key -> same stragglers)
+    recover_stragglers_sparse(c, rows, cols, vals, h, (m, n), res)
+    t0 = time.time()
+    res_r = ipm()
+    res_r = recover_stragglers_sparse(c, rows, cols, vals, h, (m, n),
+                                      res_r)
+    ns_rec = int((np.asarray(res_r.status) == stt.OPTIMAL).sum())
+    rec_wall = time.time() - t0
 
     # first-order comparator at ITS accuracy class on the same data
     lb = jnp.zeros((chunk, n), jnp.float32)
@@ -604,6 +616,9 @@ def run_sparse_ipm(jax, m, n, chunk, density=0.01):
         "lps_per_sec": round(chunk / wall, 2),
         "wall_sec": round(wall, 3),
         "optimal": ns,
+        "recovered_lps_per_sec": round(chunk / rec_wall, 2),
+        "recovered_wall_sec": round(rec_wall, 3),
+        "recovered_optimal": ns_rec,
         "lanes": chunk,
         "nnz": int(rows.shape[0]),
         "density": density,

@@ -40,10 +40,20 @@ from .ipm import (
     ipm_solve_batch_standard,
     recover_stragglers_pooled,
 )
-from .ipm_sparse import SparsePattern, ipm_solve_batch_sparse_canonical
+from .ipm_sparse import (
+    SparsePattern,
+    ipm_solve_batch_sparse_canonical,
+    recover_stragglers_sparse,
+)
 from .pdhg import PDHGConfig, PDHGSolver
 from .primal_dual import PrimalDualAlgorithm
-from .router import choose_family, solve_batch_auto, solve_batch_exact
+from .router import (
+    choose_family,
+    choose_family_sparse,
+    solve_batch_auto,
+    solve_batch_auto_sparse,
+    solve_batch_exact,
+)
 from .presolve_host import presolve_problem, solve_with_presolve
 from .ranging import RangingResult, ranging, ranging_batch
 from .config import DEFAULT_CONFIG, FAST_CONFIG, SolverConfig, tuned_config
@@ -79,6 +89,9 @@ __all__ = [
     "SparsePattern",
     "ipm_solve_batch_sparse_canonical",
     "solve_batch_auto",
+    "solve_batch_auto_sparse",
+    "choose_family_sparse",
+    "recover_stragglers_sparse",
     "solve_batch_exact",
     "choose_family",
     "SimplexSolver",

@@ -280,6 +280,91 @@ def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
     return res._replace(cost=jnp.sum(cs * res.x, axis=1))
 
 
+def recover_stragglers_sparse(c, rows, cols, vals, h, shape, res,
+                              recover_cfg=None, maxiters=None):
+    """Repair non-OPTIMAL sparse-IPM lanes to EXACT vertices.
+
+    VERDICT r4 item 4: the sparse family had no straggler backstop (the
+    m=2048 bench leg shipped 124/128).  The f32 sparse IPM leaves a few
+    percent of lanes at its KKT floor; this gathers them, DENSIFIES only
+    the straggler bucket (a handful of ``[m, n]`` scatters -- the full
+    batch never materializes), and routes it through the same pooled
+    dense crossover the dense family uses
+    (:func:`linprog_tpu.ipm.recover_stragglers_pooled`, Tapia-guided,
+    exact-refactor verified).  Crossed lanes come back as exact vertices
+    with a basis certificate; lanes the crossover cannot verify keep
+    their sparse-IPM answer and status.
+
+    ``res`` is the :class:`~linprog_tpu.results.BatchResult` from
+    :func:`ipm_solve_batch_sparse_canonical` (slack-extended ``x``,
+    duals ``y`` -- both required for the Tapia indicator).  Returns the
+    (possibly replaced) :class:`BatchResult`.
+    """
+    from . import status as st
+    from .ipm import recover_stragglers_pooled
+    from .results import BatchResult
+
+    m, ng = shape
+    status = np.array(res.status)  # writable copy (scatter-back below)
+    bad = np.flatnonzero(status != st.OPTIMAL)
+    if bad.size == 0:
+        return res
+    B = vals.shape[0]
+    bucket = min(max(8, 1 << int(bad.size - 1).bit_length()), B)
+    idx = np.resize(bad, bucket)
+    idx_dev = jnp.asarray(idx, jnp.int32)
+
+    c_sub = jnp.take(jnp.asarray(c), idx_dev, axis=0)
+    h_sub = jnp.take(jnp.asarray(h), idx_dev, axis=0)
+    G_sub = _densify_lanes(jnp.asarray(rows, jnp.int32),
+                           jnp.asarray(cols, jnp.int32),
+                           jnp.take(jnp.asarray(vals), idx_dev, axis=0),
+                           m, ng)
+    sub = BatchResult(
+        x=jnp.take(res.x, idx_dev, axis=0),
+        basis=jnp.take(res.basis, idx_dev, axis=0),
+        cost=jnp.take(res.cost, idx_dev, axis=0),
+        iters=jnp.take(res.iters, idx_dev, axis=0),
+        status=jnp.take(res.status, idx_dev, axis=0),
+        y=None if res.y is None else jnp.take(res.y, idx_dev, axis=0),
+    )
+    rec = recover_stragglers_pooled(
+        [(c_sub, G_sub, h_sub)], [sub], recover_cfg=recover_cfg,
+        maxiters=maxiters,
+    )[0]
+    rec_status = np.asarray(rec.status)
+
+    x = np.array(res.x)
+    basis = np.array(res.basis)
+    cost = np.array(res.cost)
+    iters = np.array(res.iters)
+    y = None if res.y is None else np.array(res.y)
+    seen = set()
+    for k, lane in enumerate(idx):
+        if lane in seen or rec_status[k] != st.OPTIMAL:
+            continue
+        seen.add(lane)
+        x[lane] = np.asarray(rec.x[k])
+        basis[lane] = np.asarray(rec.basis[k])
+        cost[lane] = float(rec.cost[k])
+        iters[lane] = iters[lane] + int(rec.iters[k]) - int(sub.iters[k])
+        status[lane] = st.OPTIMAL
+        if y is not None:
+            y[lane] = np.asarray(rec.y[k])
+    return BatchResult(
+        x=jnp.asarray(x), basis=jnp.asarray(basis), cost=jnp.asarray(cost),
+        iters=jnp.asarray(iters), status=jnp.asarray(status),
+        y=None if y is None else jnp.asarray(y),
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "ng"))
+def _densify_lanes(rows, cols, vals, m, ng):
+    """Scatter shared-pattern values into dense ``[bucket, m, ng]``."""
+    Z = jnp.zeros((vals.shape[0], m, ng), vals.dtype)
+    return Z.at[:, rows, cols].set(vals)
+
+
 @partial(jax.jit, static_argnames=("m", "ng", "cfg", "equilibrate"))
 def _ipm_sparse_jit(c, rows, cols, vals, h, pat_dev, m, ng,
                     cfg: IPMConfig, equilibrate: bool):

@@ -165,3 +165,82 @@ def test_ruiz_handles_empty_rows_and_columns():
     assert np.asarray(r)[0, 0] == pytest.approx(1.0)
     assert np.asarray(cl)[0, 5] == pytest.approx(1.0)
     assert np.allclose(np.abs(np.asarray(vals_s)), 1.0, atol=1e-3)
+
+
+def test_sparse_straggler_recovery_repairs_every_lane():
+    """VERDICT r4 item 4: starve the sparse IPM so every lane is a
+    straggler, then recover_stragglers_sparse must densify the bucket,
+    route it through the pooled dense crossover, and return exact
+    vertices matching HiGHS on every lane."""
+    from scipy.optimize import linprog as slp
+
+    from linprog_tpu.ipm_sparse import recover_stragglers_sparse
+
+    Bs, m, n = 8, 24, 24
+    c, rows, cols, vals, h = random_sparse_inequality_lps(
+        Bs, m, n, density=0.3, seed=9
+    )
+    cj, vj, hj = jnp.asarray(c), jnp.asarray(vals), jnp.asarray(h)
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=4)  # starved
+    res = ipm_solve_batch_sparse_canonical(
+        cj, rows, cols, vj, hj, (m, n), cfg
+    )
+    assert int((np.asarray(res.status) == stt.OPTIMAL).sum()) < Bs
+    rec = recover_stragglers_sparse(cj, rows, cols, vj, hj, (m, n), res)
+    assert np.all(np.asarray(rec.status) == stt.OPTIMAL)
+    # recovered lanes carry a real basis certificate
+    assert np.all(np.asarray(rec.basis) >= 0)
+    Gd = np.zeros((Bs, m, n), np.float32)
+    Gd[:, np.asarray(rows), np.asarray(cols)] = vals
+    for i in range(Bs):
+        ref = slp(c[i], A_ub=Gd[i], b_ub=h[i], bounds=(0, None),
+                  method="highs")
+        if ref.status == 0:
+            gap = abs(float(rec.cost[i]) - ref.fun) / max(1, abs(ref.fun))
+            assert gap < 2e-5, (i, gap)
+
+
+def test_sparse_auto_router_families_and_answers():
+    """The sparse driver entry point (VERDICT r4 item 4): family flips on
+    accuracy/size, and the IPM path's recovery backstop delivers every
+    lane."""
+    from scipy.optimize import linprog as slp
+
+    from linprog_tpu.router import choose_family_sparse, solve_batch_auto_sparse
+
+    # routing rule: memory-bound huge m -> pdhg; loose + ultra-sparse ->
+    # pdhg; benched regime -> ipm
+    assert choose_family_sparse(2048, 2048, 41943, 1e-3, lanes=128) == "ipm"
+    assert choose_family_sparse(65536, 65536, 400000, 1e-3, lanes=8) == "pdhg"
+    assert choose_family_sparse(4096, 4096, 16384, 1e-2, lanes=1) == "pdhg"
+
+    Bs, m, n = 6, 20, 20
+    c, rows, cols, vals, h = random_sparse_inequality_lps(
+        Bs, m, n, density=0.3, seed=4
+    )
+    cj, vj, hj = jnp.asarray(c), jnp.asarray(vals), jnp.asarray(h)
+    res, info = solve_batch_auto_sparse(cj, rows, cols, vj, hj, (m, n),
+                                        accuracy=1e-3)
+    assert info["family"] == "sparse-ipm"
+    assert info.get("recovered")
+    assert np.all(np.asarray(res.status) == stt.OPTIMAL)
+    assert res.x.shape == (Bs, n)  # structural columns only
+    Gd = np.zeros((Bs, m, n), np.float32)
+    Gd[:, np.asarray(rows), np.asarray(cols)] = vals
+    for i in range(Bs):
+        ref = slp(c[i], A_ub=Gd[i], b_ub=h[i], bounds=(0, None),
+                  method="highs")
+        if ref.status == 0:
+            gap = abs(float(res.cost[i]) - ref.fun) / max(1, abs(ref.fun))
+            # raw-OPTIMAL lanes answer at the requested eps class (1e-3);
+            # only stragglers are crossed to exact vertices
+            assert gap < 2e-3, (i, gap)
+
+    # prefer override reaches the first-order family on the same batch
+    res_p, info_p = solve_batch_auto_sparse(
+        cj, rows, cols, vj, hj, (m, n), accuracy=1e-3, prefer="pdhg",
+        maxiters=40_000,
+    )
+    assert info_p["family"] == "sparse-pdhg"
+    ok = np.asarray(res_p.status) == stt.OPTIMAL
+    assert ok.sum() >= Bs - 1
