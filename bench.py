@@ -483,6 +483,82 @@ def run_ipm_batch(jax, m, n, chunk, chunks=4):
     }
 
 
+def run_warm_ipm(jax, m, n, chunk, chunks=4, perturb=0.02):
+    """IPM warm-start datapoint (VERDICT r4 item 6): scenario re-solves.
+
+    Solves ``chunks`` batches cold (keeping terminal iterates), perturbs
+    every rhs by ``perturb`` relative noise, then re-solves the scenario
+    twice -- warm (``reoptimize_ipm_batch_canonical``: restart from the
+    previous iterate with complementarity lifted to the mu0 shell, no
+    starting-point factorization) and cold -- with identical configs and
+    async dispatch chains.  The batched while_loop's wall follows the
+    MAX iteration count per chunk, so the measured ratio is the honest
+    one (CPU probes: warm max 8-9 vs cold 10-11 Newton steps + the
+    skipped extra factorization at a 1-2% perturbation)."""
+    from linprog_tpu import status as stt
+    from linprog_tpu.generators import device_inequality_lps
+    from linprog_tpu.ipm import (
+        IPMConfig,
+        ipm_solve_batch_canonical,
+        reoptimize_ipm_batch_canonical,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(5), chunks)
+    gen = jax.jit(lambda k: device_inequality_lps(k, chunk, m, n))
+    batches = [gen(k) for k in keys]
+    cfg = IPMConfig(eps_rel=1e-3, maxiters=40, dtype="float32")
+
+    @jax.jit
+    def perturb_h(h, k):
+        return h * (1.0 + perturb * jax.random.normal(k, h.shape, h.dtype))
+
+    # base solves (cold) keeping the terminal states
+    base = [ipm_solve_batch_canonical(*b, cfg, return_state=True)
+            for b in batches]
+    states = [s for _, s in base]
+    new_hs = [perturb_h(b[2], jax.random.fold_in(k, 1))
+              for b, k in zip(batches, keys)]
+
+    def warm_all():
+        return [
+            reoptimize_ipm_batch_canonical(b[0], b[1], hn, s, cfg)
+            for b, hn, s in zip(batches, new_hs, states)
+        ]
+
+    def cold_all():
+        return [ipm_solve_batch_canonical(b[0], b[1], hn, cfg)
+                for b, hn in zip(batches, new_hs)]
+
+    for leg in (warm_all, cold_all):  # compile + warm both legs
+        np.asarray(leg()[-1].cost)
+    t0 = time.time()
+    warm = warm_all()
+    warm_opt = sum(int((np.asarray(r.status) == stt.OPTIMAL).sum())
+                   for r in warm)
+    warm_wall = time.time() - t0
+    t0 = time.time()
+    cold = cold_all()
+    cold_opt = sum(int((np.asarray(r.status) == stt.OPTIMAL).sum())
+                   for r in cold)
+    cold_wall = time.time() - t0
+    lanes = chunk * chunks
+    return {
+        "lps_per_sec": round(lanes / warm_wall, 2),
+        "wall_sec": round(warm_wall, 3),
+        "optimal": warm_opt,
+        "cold_lps_per_sec": round(lanes / cold_wall, 2),
+        "cold_optimal": cold_opt,
+        "speedup_vs_cold": round(cold_wall / warm_wall, 2),
+        "lanes": lanes,
+        "perturb": perturb,
+        "median_warm_iters": int(np.median(np.concatenate(
+            [np.asarray(r.iters) for r in warm]))),
+        "median_cold_iters": int(np.median(np.concatenate(
+            [np.asarray(r.iters) for r in cold]))),
+        "eps_rel": 1e-3,
+    }
+
+
 def run_ipm_crossover(jax, m, n, chunk, highs_samples=2):
     """Exact-pipeline leg: IPM -> crossover -> simplex fallback, certified.
 
@@ -730,6 +806,7 @@ def _digest_leg(leg):
         ("certified", "cert"),
         ("lanes", "lanes"),
         ("max_rel_gap_vs_highs", "gap"),
+        ("speedup_vs_cold", "xwarm"),
         ("family", "fam"),
     ):
         v = leg.get(src)
@@ -838,6 +915,8 @@ def main():
         # vs simplex 573-589 / 77 / 7.9 / 0.64)
         extras["ipm_m256"] = run_ipm_batch(jax, 256, 256, 256)
         extras["ipm_m512"] = run_ipm_batch(jax, 512, 512, 128)
+        # warm-started scenario re-solves for the IPM family (round 5)
+        extras["warm_ipm_m512"] = run_warm_ipm(jax, 512, 512, 128)
         extras["ipm_m1024"] = run_ipm_batch(jax, 1024, 1024, 64)
         extras["ipm_m2048"] = run_ipm_batch(jax, 2048, 2048, 16)
         # exact vertices from the IPM family (round-3: dual-then-primal

@@ -39,6 +39,8 @@ from .ipm import (
     ipm_solve_batch_canonical,
     ipm_solve_batch_standard,
     recover_stragglers_pooled,
+    reoptimize_ipm_batch_canonical,
+    warm_start_point,
 )
 from .ipm_sparse import (
     SparsePattern,
@@ -86,6 +88,8 @@ __all__ = [
     "ipm_solve_batch_standard",
     "ipm_solve_batch_canonical",
     "recover_stragglers_pooled",
+    "reoptimize_ipm_batch_canonical",
+    "warm_start_point",
     "SparsePattern",
     "ipm_solve_batch_sparse_canonical",
     "solve_batch_auto",

@@ -379,3 +379,63 @@ def test_gondzio_correctors_converge_to_same_accuracy():
     # the corrector reuses the factorization to EXTEND steps: it must not
     # cost extra Newton iterations anywhere
     assert np.all(np.asarray(gz.iters) <= np.asarray(base.iters) + 1)
+
+
+def test_warm_start_batch_cuts_iterations():
+    """VERDICT r4 item 6: scenario re-solves (new h, same G) restarting
+    from the previous iterate with lifted mu must converge in fewer
+    Newton steps than a cold start, to the same HiGHS-checked optimum."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+
+    from linprog_tpu.ipm import reoptimize_ipm_batch_canonical
+
+    B, m, n = 8, 24, 24
+    c, G, h = random_inequality_lps(B, m, n, seed=13, dtype=np.float64)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    base, state = ipm_solve_batch_canonical(c, G, h, CFG,
+                                            return_state=True)
+    assert np.all(np.asarray(base.status) == st.OPTIMAL)
+
+    rng = np.random.default_rng(0)
+    h_new = h * jnp.asarray(1.0 + 0.05 * rng.standard_normal(h.shape))
+    warm, wstate = reoptimize_ipm_batch_canonical(
+        c, G, h_new, state, CFG, return_state=True
+    )
+    cold = ipm_solve_batch_canonical(c, G, h_new, CFG)
+    assert np.all(np.asarray(warm.status) == st.OPTIMAL)
+    # fewer iterations on average, never catastrophically more
+    wi = np.asarray(warm.iters, np.float64)
+    ci = np.asarray(cold.iters, np.float64)
+    assert wi.mean() < ci.mean(), (wi, ci)
+    for i in range(B):
+        ref = scipy_opt.linprog(np.asarray(c[i]), A_ub=np.asarray(G[i]),
+                                b_ub=np.asarray(h_new[i]), method="highs")
+        if ref.status == 0:
+            assert float(warm.cost[i]) == pytest.approx(
+                ref.fun, rel=1e-6, abs=1e-6
+            )
+    # chained scenarios: warm-start from the warm state
+    h3 = h_new * 1.02
+    warm2 = reoptimize_ipm_batch_canonical(c, G, h3, wstate, CFG)
+    assert np.all(np.asarray(warm2.status) == st.OPTIMAL)
+
+
+def test_ipm_solver_resolve_warm():
+    """IPMSolver.resolve: the general-form warm re-solve surface."""
+    solver = IPMSolver(
+        c=np.array([-1.0, -2.0]),
+        G=np.array([[1.0, 1.0], [0.0, 1.0]]),
+        h=np.array([4.0, 2.0]),
+        config=CFG,
+    )
+    r0 = solver.solve()
+    assert r0.cost == pytest.approx(-6.0, abs=1e-5)
+    r1 = solver.resolve(h=np.array([5.0, 2.0]))
+    # new optimum: x = (3, 2), cost -7
+    assert r1.optimum
+    assert r1.cost == pytest.approx(-7.0, abs=1e-5)
+    assert r1.iters <= r0.iters
+    # and a cost perturbation on top (chained)
+    r2 = solver.resolve(c=np.array([-1.0, -4.0]))
+    assert r2.optimum
+    assert r2.cost == pytest.approx(-11.0, abs=1e-4)
