@@ -276,9 +276,14 @@ def calibrate(sizes=(128, 256, 512), lanes: int = 64, seed: int = 0,
             )
             measured.append("exact_eps")
 
-    # measured knees for the sizes covered; terminal row inherited
-    terminal = [r for r in table["seg_by_m"] if r[0] == 0]
-    table["seg_by_m"] = seg_rows + (terminal or [[0, seg_rows[-1][1]]])
+    # measured knees for the sizes covered; rows BEYOND the measured grid
+    # (larger-m knees and the terminal row) are inherited -- replacing
+    # them with a terminal guess would mis-seg every size between
+    # max(sizes) and the old knees
+    max_measured = max(sizes)
+    keep = [r for r in table["seg_by_m"]
+            if r[0] == 0 or r[0] > max_measured]
+    table["seg_by_m"] = seg_rows + (keep or [[0, seg_rows[-1][1]]])
     measured.append("seg_by_m")
 
     # --- PDHG regime boundary (loose accuracy class) -----------------

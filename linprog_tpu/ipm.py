@@ -84,13 +84,23 @@ class IPMConfig:
     # None -> dtype-resolved default: 1e-6 in f64, 1e-4 in f32.
     cert_tol: Optional[float] = None
     # Gondzio multiple centrality correctors per iteration: each reuses
-    # the ALREADY-FACTORED normal matrix (two GEMV solves) to push trial
-    # complementarity products back into [beta_min, beta_max] * mu and
-    # extend the step lengths -- textbook lever when the factorization
-    # dominates the iteration (large m / the sparse path: the corrector
-    # is ~free next to the m^3 factor).  A corrector is accepted per lane
-    # only if it extends both step lengths; 0 disables (legacy paths).
+    # the ALREADY-FACTORED normal matrix (residual-free solves) to push
+    # trial complementarity products back into [0.1, 10] * mu_t and
+    # extend the step lengths.  Round-5 re-measure with the FIXED
+    # corrector (the round-4 one double-cancelled rb/rc): CPU m=128
+    # cold max iters 11 -> 9; v5e sparse m=2048 1% STILL net-negative
+    # (34.6 vs 39.0 LPs/s, med iters 13 -> 12 -- the two extra GEMV
+    # solves outweigh one saved factorization there).  Off by default.
     gondzio: int = 0
+    # Newton-system application mode.  "w2": keep the inverse Cholesky
+    # factor W = L^-1 and apply M^-1 r = W'(W r) as two batched GEMVs
+    # (default).  "minv": square the factor once per iteration
+    # (M^-1 = W'W, one MXU GEMM) so every downstream solve is ONE GEMV.
+    # MEASURED NEGATIVE in f32 (round 5): forming W'W explicitly squares
+    # cond(M) into one f32 matrix and the solve direction collapses
+    # (1/32 lanes optimal at eps 1e-3 vs 29/32 for "w2"); f64 agrees
+    # with "w2" to 1e-9.  Keep "w2" unless running float64.
+    newton_solver: str = "w2"
     dtype: str = "float32"
 
 
@@ -378,6 +388,14 @@ def _ipm_core(c, op, b, cfg: IPMConfig, init=None):
         s_safe = jnp.maximum(s, 1e-30)
         d = x / s_safe
         L = _normal_factor(op, d, reg)
+        if cfg.newton_solver == "minv":
+            # square once (MXU GEMM); downstream solves become one GEMV
+            Minv = jnp.einsum("bki,bkj->bij", L, L, precision=_HIGHEST)
+            solve = lambda r: jnp.einsum(
+                "bij,bj->bi", Minv, r, precision=_HIGHEST
+            )
+        else:
+            solve = lambda r: _chol_solve(L, r)
         rb = op.mv(x) - b
         rc = op.mtv(y) + s - c
         mu = jnp.sum(x * s, axis=1) / n  # [B]
@@ -386,7 +404,7 @@ def _ipm_core(c, op, b, cfg: IPMConfig, init=None):
             # A D A' dy = -rb + A (rxs/s - d*rc);  ds = -rc - A'dy;
             # dx = -rxs/s - d*ds  (elimination of the 3x3 KKT system)
             rhs = -rb + op.mv(rxs / s_safe - d * rc)
-            dy = _chol_solve(L, rhs)
+            dy = solve(rhs)
             ds = -rc - op.mtv(dy)
             dx = -rxs / s_safe - d * ds
             return dx, dy, ds
@@ -412,7 +430,7 @@ def _ipm_core(c, op, b, cfg: IPMConfig, init=None):
             # Mehrotra direction already carries them), so the corrector
             # solves the KKT system with rb = rc = 0:
             #   A D A' dy = A (rxs/s);  ds = -A'dy;  dx = -rxs/s - d*ds
-            dy = _chol_solve(L, op.mv(rxs / s_safe))
+            dy = solve(op.mv(rxs / s_safe))
             ds = -op.mtv(dy)
             dx = -rxs / s_safe - d * ds
             return dx, dy, ds
@@ -685,7 +703,7 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
     Returns the list of (possibly replaced) :class:`BatchResult`.
     """
     from .crossover import crossover_batch_canonical
-    from .router import exact_cleanup_config
+    from .router import recovery_cleanup_config
 
     statuses = [np.asarray(r.status) for r in results]  # tiny readbacks
     lanes = [(bi, int(l)) for bi, s in enumerate(statuses)
@@ -698,7 +716,7 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
     bucket = min(bucket, total)
     pick = sorted(lanes[k % len(lanes)] for k in range(bucket))
     if recover_cfg is None or maxiters is None:
-        auto_cfg, auto_iters = exact_cleanup_config(m)
+        auto_cfg, auto_iters = recovery_cleanup_config(m)
         recover_cfg = recover_cfg or auto_cfg
         maxiters = maxiters or auto_iters
 

@@ -116,12 +116,29 @@ class SparsePattern:
         order = np.argsort(flat[live], kind="stable")
         self.pair_perm = live[order].astype(np.int32)
         self.pair_ids = flat[live][order].astype(np.int32)
+        # cumsum-assembly plan (round 5, VERDICT r4 item 8): per-segment
+        # [start, end) boundaries into the SORTED pair stream, so the
+        # normal matrix can be built as prefix-sum differences (two fast
+        # gathers) instead of a scatter-style segment_sum -- computed
+        # lazily (34 MB of int32 at m=2048, only the cumsum mode reads it)
+        self._seg_bounds = None
 
         self.k_row, self.k_col = k_row, k_col
         self.row_cols, self.row_slot = row_cols, row_slot
         self.row_mask = row_mask
         self.col_rows, self.col_slot = col_rows, col_slot
         self.col_mask = col_mask
+
+    def seg_bounds(self):
+        """``(starts, ends)[m*m]`` of each flat segment in the sorted
+        pair stream (empty segments have ``start == end``)."""
+        if self._seg_bounds is None:
+            grid = np.arange(self.m * self.m, dtype=np.int64)
+            starts = np.searchsorted(self.pair_ids, grid, side="left")
+            ends = np.searchsorted(self.pair_ids, grid, side="right")
+            self._seg_bounds = (starts.astype(np.int32),
+                                ends.astype(np.int32))
+        return self._seg_bounds
 
 
 class _SparseSlackOp:
@@ -166,24 +183,66 @@ class _SparseSlackOp:
         return jnp.concatenate([self._gty(w), w], axis=1)
 
     def normal(self, d):
-        """``G D_g G' + diag(D_s)`` via the pre-sorted pair segment-sum.
+        """``G D_g G' + diag(D_s)`` from the sorted half-pair stream.
 
-        Only the lower-triangular half of each column's outer product is
-        scattered (the plan drops upper/padded pairs); the full symmetric
-        matrix is recovered with one transpose-add and a diagonal fix.
+        Only the lower-triangular half of each column's outer product
+        enters the stream (the plan drops upper/padded pairs); the full
+        symmetric matrix is recovered with one transpose-add and a
+        diagonal fix.  Two reductions are available:
+
+        * ``"segment"`` -- pre-sorted ``jax.ops.segment_sum`` (the
+          round-4 path; XLA lowers it scatter-style, measured ~84 ms of
+          the 225 ms Newton step at m=2048/1%).
+        * ``"cumsum"`` -- COMPENSATED prefix-sum of the sorted stream,
+          then read each segment as ``csum[end] - csum[start]`` with
+          pattern-constant boundaries: the scatter becomes two GATHERS.
+          A plain f32 prefix is NOT enough: near convergence
+          ``d = x/s`` spreads ~1e8, prefixes reach that scale, and the
+          boundary differences of small segments cancel catastrophically
+          (measured: NaN Cholesky lanes).  The scan therefore runs on
+          ``(sum, err)`` pairs with a TwoSum combine -- the detail below
+          ``eps * |prefix|`` lives in the error stream, and the boundary
+          subtraction recovers it.
+
+          MEASURED NEGATIVE on v5e (round 5, m=2048 B=128 1%): the
+          isolated op runs 314 ms vs the segment-sum's 47 ms -- XLA
+          lowers the tuple-carry associative scan as multiple full
+          passes over the 105M-element stream, costing far more than
+          the scatter it replaces.  Kept for reference/CPU; "segment"
+          stays the default everywhere.
         """
         dg = d[:, : self.ng]
         ds = d[:, self.ng:]
         pv = (dg[:, :, None, None]
               * self.Vc[:, :, :, None] * self.Vc[:, :, None, :])
         pv = pv.reshape(self.B, -1)[:, self.pat["pair_perm"]]
-        seg = partial(
-            jax.ops.segment_sum,
-            segment_ids=self.pat["pair_ids"],
-            num_segments=self.m * self.m,
-            indices_are_sorted=True,
-        )
-        U = jax.vmap(seg)(pv).reshape(self.B, self.m, self.m)
+        if "seg_starts" in self.pat:  # cumsum mode
+            def comb(a, b):
+                s1, e1 = a
+                s2, e2 = b
+                t = s1 + s2
+                z = t - s1
+                err = (s1 - (t - z)) + (s2 - z)
+                return t, e1 + e2 + err
+
+            s, e = jax.lax.associative_scan(
+                comb, (pv, jnp.zeros_like(pv)), axis=1
+            )
+            s = jnp.pad(s, ((0, 0), (1, 0)))
+            e = jnp.pad(e, ((0, 0), (1, 0)))
+            ends, starts = self.pat["seg_ends"], self.pat["seg_starts"]
+            U = (
+                (jnp.take(s, ends, axis=1) - jnp.take(s, starts, axis=1))
+                + (jnp.take(e, ends, axis=1) - jnp.take(e, starts, axis=1))
+            ).reshape(self.B, self.m, self.m)
+        else:
+            seg = partial(
+                jax.ops.segment_sum,
+                segment_ids=self.pat["pair_ids"],
+                num_segments=self.m * self.m,
+                indices_are_sorted=True,
+            )
+            U = jax.vmap(seg)(pv).reshape(self.B, self.m, self.m)
         N = U + jnp.swapaxes(U, 1, 2)
         idx = jnp.arange(self.m)
         diagU = jnp.diagonal(U, axis1=1, axis2=2)
@@ -237,7 +296,8 @@ def _ruiz_sparse(rows, cols, vals, c, h, m, n, iters: int = 6):
 def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
                                      cfg: IPMConfig = DEFAULT_IPM_CONFIG,
                                      pattern: SparsePattern | None = None,
-                                     equilibrate: bool = True):
+                                     equilibrate: bool = True,
+                                     assembly: str = "segment"):
     """Batched sparse IPM on canonical LPs ``min c'x, Gx <= h, x >= 0``.
 
     ``c[B, n], vals[B, nnz], h[B, m]`` with the COO pattern
@@ -251,7 +311,9 @@ def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
     padding/sort across calls on the same pattern.  ``equilibrate`` runs
     a per-lane Ruiz scaling first and reports ``x``/``cost``/``y`` in the
     ORIGINAL scaling (the KKT tolerance applies to the balanced system,
-    as in the PDHG family).
+    as in the PDHG family).  ``assembly`` selects the normal-matrix
+    reduction (``"segment"`` | ``"cumsum"``; see
+    :meth:`_SparseSlackOp.normal`).
     """
     m, ng = shape
     if pattern is None:
@@ -266,6 +328,12 @@ def ipm_solve_batch_sparse_canonical(c, rows, cols, vals, h, shape,
         "pair_perm": jnp.asarray(pattern.pair_perm),
         "pair_ids": jnp.asarray(pattern.pair_ids),
     }
+    if assembly == "cumsum":
+        starts, ends = pattern.seg_bounds()
+        pat_dev["seg_starts"] = jnp.asarray(starts)
+        pat_dev["seg_ends"] = jnp.asarray(ends)
+    elif assembly != "segment":
+        raise ValueError(f"unknown assembly mode {assembly!r}")
     B = vals.shape[0]
     dt = jnp.dtype(cfg.dtype)
     cs = jnp.concatenate(

@@ -94,6 +94,25 @@ def exact_cleanup_config(m: int, maxiters: Optional[int] = None):
     )
 
 
+def recovery_cleanup_config(m: int, maxiters: Optional[int] = None):
+    """Straggler-recovery variant of :func:`exact_cleanup_config`.
+
+    Recovery buckets start from a near-optimal Tapia-ranked IPM iterate,
+    so they rarely need the exact pipeline's full pivot budget or its
+    tightest refactor cadence.  Round-5 probe at m=2048 (B=64, 6
+    stragglers): r128/unroll2/budget2048 ran 2.06x the raw IPM wall --
+    the round-4 miss -- vs r256/unroll2/budget1024 at 1.55x, identical
+    recovered counts.  Budget-exhausted lanes keep their IPM answer and
+    status (safe degradation), so the smaller budget trades nothing.
+    """
+    if m >= 1536:
+        return (
+            tuned_config(m, refactor_every=256, unroll=2),
+            (maxiters or 1024),
+        )
+    return exact_cleanup_config(m, maxiters)
+
+
 def choose_family(m: int, accuracy: float) -> str:
     """The routing rule alone (exposed for tests / observability).
 

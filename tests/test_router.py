@@ -194,8 +194,17 @@ def test_calibrate_measures_every_table_key():
     coverage is what's under test)."""
     from linprog_tpu import calibration
 
-    out = calibration.calibrate(sizes=(16,), lanes=4, seg_grid=(8, 16),
-                                pdhg_sizes=(16,), pdhg_lanes=4)
+    import jax
+
+    try:
+        out = calibration.calibrate(sizes=(16,), lanes=4, seg_grid=(8, 16),
+                                    pdhg_sizes=(16,), pdhg_lanes=4)
+    finally:
+        # calibrate() compiles ~15 fresh programs; drop them so the XLA
+        # CPU compiler's accumulated state does not abort the Pallas
+        # kernel suites that collect right after this file (the same
+        # workaround tests/test_stream_kernel.py carries)
+        jax.clear_caches()
     (kind, table), = out.items()
     assert set(table["_measured"]) == {
         "exact_simplex_max_m", "moderate_simplex_max_m",
