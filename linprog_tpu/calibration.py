@@ -317,6 +317,16 @@ def calibrate(sizes=(128, 256, 512), lanes: int = 64, seed: int = 0,
         measured.append("pdhg_min_m")
 
     table["_measured"] = measured
+    # regime boundaries depend on the BATCH SCALE as well as (m,
+    # accuracy): a 64-lane probe on v5e measures simplex losing even at
+    # m=128 (the pivot loop's fixed costs don't amortize) while the
+    # shipped at-scale defaults were tuned at B=256-1024.  Record the
+    # probe scale so a saved entry is never mistaken for an at-scale one.
+    table["_provenance"] = {
+        "lanes": int(lanes), "sizes": [int(s) for s in sizes],
+        "pdhg_sizes": [int(s) for s in pdhg_sizes],
+        "pdhg_lanes": int(pdhg_lanes),
+    }
     out = {kind: table}
     if save_path:
         with open(save_path, "w") as f:
