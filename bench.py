@@ -201,6 +201,7 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
            "numerical_error": 0}
     crossed_total = 0
     fallback_total = 0
+    fallbacks = []
     for (c, G, h), res, crossed in results:
         crossed_np = np.asarray(crossed)
         s = np.array(res.status)
@@ -217,6 +218,7 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
             for kk, lane in enumerate(idx):
                 s[lane] = sub_s[kk]
             fallback_total += int(bad.size)
+            fallbacks.append(((c, G, h), idx, bad, sub))
         agg["optimal"] += int((s == stt.OPTIMAL).sum())
         agg["infeasible"] += int((s == stt.PRIMAL_INFEASIBLE).sum())
         agg["unbounded"] += int((s == stt.PRIMAL_UNBOUNDED).sum())
@@ -225,6 +227,41 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
         total_iters += int(np.asarray(res.iters).sum())
         crossed_total += int(crossed_np.sum())
     wall = time.time() - t0
+
+    # oracle-free evidence for EVERY headline lane (outside the timed
+    # wall): dd-accuracy KKT verification of each returned basis --
+    # crossed lanes from the pipeline result, fallback lanes from the
+    # two-phase sub-result's basis (same slack-extended convention)
+    t1 = time.time()
+    certified_total = 0
+    worst = 0.0
+    try:
+        from linprog_tpu.certify import certify_vertex_batch
+
+        for (c, G, h), res, crossed in results:
+            cert = certify_vertex_batch(c, G, h, res.basis)
+            ok = np.asarray(cert["certified"]) & np.asarray(crossed)
+            certified_total += int(ok.sum())
+            if ok.any():
+                worst = max(worst, float(
+                    np.asarray(cert["primal_residual"])[ok].max()
+                ), float(np.asarray(cert["gap"])[ok].max()))
+        for (c, G, h), idx, bad, sub in fallbacks:
+            cert = certify_vertex_batch(
+                jnp.take(c, jnp.asarray(idx), axis=0),
+                jnp.take(G, jnp.asarray(idx), axis=0),
+                jnp.take(h, jnp.asarray(idx), axis=0),
+                sub.basis,
+            )
+            okf = np.asarray(cert["certified"])
+            seen = set()
+            for kk, lane in enumerate(idx):
+                if lane in bad and lane not in seen and okf[kk]:
+                    certified_total += 1
+                    seen.add(lane)
+    except Exception:
+        certified_total = None
+    cert_wall = time.time() - t1
     total_lps = chunks * chunk
     lps_per_sec = total_lps / wall
 
@@ -263,6 +300,10 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
         "lane_status": agg,
         "crossed": crossed_total,
         "fallback": fallback_total,
+        "certified": certified_total,
+        "max_kkt_residual": (float(f"{worst:.3e}")
+                             if certified_total else None),
+        "cert_wall_sec": round(cert_wall, 3),
         "family": "ipm+crossover(+simplex fallback)",
         # res.iters mixes IPM Newton steps and crossover pivots; grading
         # every iteration with the cheaper pivot FLOP model makes this a
@@ -977,6 +1018,9 @@ def main():
         "max_rel_gap_vs_highs": out["max_rel_gap_vs_highs"],
         "lane_status": out["lane_status"],
     }
+    for k in ("certified", "max_kkt_residual"):
+        if out.get(k) is not None:
+            headline[k] = out[k]
     print(json.dumps(headline), flush=True)
 
 
