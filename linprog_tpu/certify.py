@@ -127,19 +127,23 @@ def certify_vertex_batch(c, G, h, basis):
 
 def certificate_summary(cert: dict) -> dict:
     """Host-side digest of :func:`certify_vertex_batch` for bench/report
-    artifacts: certified count + the worst residual of each condition."""
+    artifacts: certified count + the worst residual of each condition
+    OVER THE CERTIFIED LANES (an uncertified lane may carry NaN -- e.g.
+    a singular basis from an iter-limited fallback -- and would poison
+    every max; its failure is already counted in ``certified``)."""
     import numpy as np
 
     ok = np.asarray(cert["certified"])
-    return {
-        "certified": int(ok.sum()),
-        "lanes": int(ok.size),
-        "max_primal_residual": float(
-            f"{np.max(np.asarray(cert['primal_residual'])):.3e}"
-        ),
-        "min_xB": float(f"{np.min(np.asarray(cert['min_xB'])):.3e}"),
-        "min_reduced_cost": float(
-            f"{np.min(np.asarray(cert['min_reduced_cost'])):.3e}"
-        ),
-        "max_gap": float(f"{np.max(np.asarray(cert['gap'])):.3e}"),
-    }
+    out = {"certified": int(ok.sum()), "lanes": int(ok.size)}
+    if ok.any():
+        out.update({
+            "max_primal_residual": float(
+                f"{np.asarray(cert['primal_residual'])[ok].max():.3e}"
+            ),
+            "min_xB": float(f"{np.asarray(cert['min_xB'])[ok].min():.3e}"),
+            "min_reduced_cost": float(
+                f"{np.asarray(cert['min_reduced_cost'])[ok].min():.3e}"
+            ),
+            "max_gap": float(f"{np.asarray(cert['gap'])[ok].max():.3e}"),
+        })
+    return out

@@ -740,6 +740,29 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
         cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg, indicator=ind,
     )
     crossed_np = np.asarray(crossed)
+    if ind is not None and not crossed_np.all():
+        # guess-ladder second chance (round 5): the Tapia ranking is far
+        # better on average but pathologically bad on occasional lanes
+        # (one probe lane burned 4096 Tapia pivots without terminating,
+        # then crossed in NINE from the magnitude guess) -- retry the
+        # still-uncrossed lanes with the magnitude ranking and merge
+        sub2, crossed2 = crossover_batch_canonical(
+            cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg,
+            indicator=None,
+        )
+        take = np.asarray(crossed2) & ~crossed_np
+        if take.any():
+            tk = jnp.asarray(take)
+            sub = BatchResult(
+                x=jnp.where(tk[:, None], sub2.x, sub.x),
+                basis=jnp.where(tk[:, None], sub2.basis, sub.basis),
+                cost=jnp.where(tk, sub2.cost, sub.cost),
+                iters=jnp.where(tk, sub2.iters, sub.iters),
+                status=jnp.where(tk, sub2.status, sub.status),
+                y=(sub.y if sub.y is None or sub2.y is None
+                   else jnp.where(tk[:, None], sub2.y, sub.y)),
+            )
+            crossed_np = crossed_np | take
     if not crossed_np.any():
         return list(results)
     x_ext = _recovery_extend_x(sub.x, Gg, hg)

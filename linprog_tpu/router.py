@@ -231,9 +231,75 @@ def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
         c, G, h, crossover_maxiters=budget, cfg=cfg, guess=guess
     )
     crossed_np = np.asarray(crossed)
-    info = {"crossed": int(crossed_np.sum()), "fallback": 0}
+    info = {"crossed": int(crossed_np.sum()), "fallback": 0,
+            "retry_crossed": 0}
     bad = np.flatnonzero(~crossed_np)
     if bad.size == 0:
+        return res, info
+
+    if m > _xover_pallas_max_m():
+        # Beyond the mega-kernel boundary the two-phase fallback is the
+        # wrong first tool (round-5 bench: 1.3 s for ONE m=1024 lane; at
+        # m=4096 it iter-limits after 35 s and the result does not
+        # certify).  Retry the pipeline on the gathered bucket with the
+        # ALTERNATE basis-guess ranking: the round-5 stubborn-lane probe
+        # showed the failure mode is a per-lane GUESS pathology, not
+        # budget -- a lane that burned 4096 Tapia-guess pivots without
+        # terminating crossed in NINE pivots from the magnitude guess
+        # (and tapia vs magnitude fail on DIFFERENT lanes: tapia is far
+        # better on average, 32/32 vs 26/32 at m=1024).
+        bucket = min(max(8, 1 << int(bad.size - 1).bit_length()), B)
+        idx_r = np.resize(bad, bucket)
+        alt = "magnitude" if guess == "tapia" else "tapia"
+        res2, crossed2 = ipm_crossover_batch_canonical(
+            jnp.take(c, idx_r, axis=0), jnp.take(G, idx_r, axis=0),
+            jnp.take(h, idx_r, axis=0),
+            crossover_maxiters=budget, cfg=cfg, guess=alt,
+        )
+        crossed2_np = np.asarray(crossed2)
+        if crossed2_np.any():
+            x = np.array(res.x)
+            basis = np.array(res.basis)
+            cost = np.array(res.cost)
+            iters = np.array(res.iters)
+            status = np.array(res.status)
+            y = None if res.y is None else np.array(res.y)
+            r2x = np.asarray(res2.x)
+            r2b = np.asarray(res2.basis)
+            r2c = np.asarray(res2.cost)
+            r2i = np.asarray(res2.iters)
+            r2s = np.asarray(res2.status)
+            r2y = None if res2.y is None else np.asarray(res2.y)
+            seen = set()
+            for k, lane in enumerate(idx_r):
+                if lane in seen or not crossed2_np[k]:
+                    continue
+                seen.add(lane)
+                x[lane] = r2x[k, : x.shape[1]]
+                basis[lane] = r2b[k]
+                cost[lane] = r2c[k]
+                iters[lane] = iters[lane] + r2i[k]
+                status[lane] = r2s[k]
+                if y is not None and r2y is not None:
+                    y[lane] = r2y[k]
+            res = BatchResult(
+                x=jnp.asarray(x), basis=jnp.asarray(basis),
+                cost=jnp.asarray(cost), iters=jnp.asarray(iters),
+                status=jnp.asarray(status),
+                y=None if y is None else jnp.asarray(y),
+            )
+            info["retry_crossed"] = len(seen)
+            info["crossed"] += len(seen)
+            bad = np.asarray(
+                [l for l in bad if l not in seen], dtype=bad.dtype
+            )
+    if bad.size == 0:
+        return res, info
+    if m >= 3072:
+        # no affordable exact repair remains at this size (two-phase
+        # measured 35 s/attempt WITHOUT converging); the lane keeps its
+        # IPM answer and its honest non-crossed status
+        info["uncrossed"] = int(bad.size)
         return res, info
 
     # exact fallback: gather uncrossed lanes into a power-of-two bucket

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from scipy.optimize import linprog as scipy_linprog
 
-from linprog_tpu import choose_family, solve_batch_auto
+from linprog_tpu import choose_family, solve_batch_auto, solve_batch_exact
 from linprog_tpu import status as st
 from linprog_tpu.config import SolverConfig
 from linprog_tpu.generators import random_inequality_lps
@@ -230,3 +230,41 @@ def test_shipped_calibration_has_no_copied_chip_entries():
         assert "_measured" in entry, (
             f"chip entry {kind!r} lacks measurement provenance"
         )
+
+
+def test_exact_fallback_retries_crossover_beyond_mega_boundary():
+    """Round 5: beyond the mega-kernel boundary, uncrossed lanes first
+    get an IPM->crossover RETRY at double budget (the two-phase fallback
+    measured 1.3 s/lane at m=1024 and cannot even converge at m=4096);
+    only still-uncrossed lanes fall to the two-phase.  Exercised on CPU
+    by shrinking the boundary via an injected calibration table."""
+    from linprog_tpu import calibration
+
+    B, m, n = 8, 20, 20
+    c, G, h = random_inequality_lps(B, m, n, seed=31)
+    c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
+    cfg = SolverConfig(kernels="xla", pricing="dantzig", refactor_every=64,
+                       polish_pivots=8)
+    table = dict(calibration.get_table("default"))
+    table["xover_pallas_max_m"] = 8  # m=20 now routes "beyond mega"
+    try:
+        calibration.set_table({"default": table})
+        # a starved budget leaves lanes uncrossed; the retry at double
+        # budget must repair them before any two-phase fallback runs
+        res, info = solve_batch_exact(c, G, h, cfg=cfg, maxiters=6)
+    finally:
+        calibration.reset_table()
+    s = np.asarray(res.status)
+    assert (s == 1).all(), (s, info)
+    assert info["crossed"] + info["fallback"] >= B
+    # bookkeeping: every lane accounted crossed (incl. retries) or fallback
+    assert info["retry_crossed"] >= 0
+    ref_costs = []
+    from scipy.optimize import linprog as slp
+
+    for i in range(B):
+        ref = slp(np.asarray(c[i]), A_ub=np.asarray(G[i]),
+                  b_ub=np.asarray(h[i]), bounds=(0, None), method="highs")
+        if ref.status == 0:
+            gap = abs(float(res.cost[i]) - ref.fun) / max(1, abs(ref.fun))
+            assert gap < 1e-4, (i, gap)
