@@ -740,12 +740,15 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
         cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg, indicator=ind,
     )
     crossed_np = np.asarray(crossed)
-    if ind is not None and not crossed_np.all():
+    if ind is not None and not crossed_np.all() and m < 1536:
         # guess-ladder second chance (round 5): the Tapia ranking is far
         # better on average but pathologically bad on occasional lanes
         # (one probe lane burned 4096 Tapia pivots without terminating,
         # then crossed in NINE from the magnitude guess) -- retry the
-        # still-uncrossed lanes with the magnitude ranking and merge
+        # still-uncrossed lanes with the magnitude ranking and merge.
+        # Gated below m=1536: at m=2048 the magnitude ranking budget-
+        # exhausted on EVERY probed straggler (it degrades with m, round
+        # 4) and the second crossover was pure wall cost
         sub2, crossed2 = crossover_batch_canonical(
             cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg,
             indicator=None,

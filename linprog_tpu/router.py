@@ -237,24 +237,35 @@ def solve_batch_exact(c, G, h, cfg: Optional[SolverConfig] = None,
     if bad.size == 0:
         return res, info
 
-    if m > _xover_pallas_max_m():
+    retry_plan = None
+    if _xover_pallas_max_m() < m < 1536:
         # Beyond the mega-kernel boundary the two-phase fallback is the
-        # wrong first tool (round-5 bench: 1.3 s for ONE m=1024 lane; at
-        # m=4096 it iter-limits after 35 s and the result does not
-        # certify).  Retry the pipeline on the gathered bucket with the
-        # ALTERNATE basis-guess ranking: the round-5 stubborn-lane probe
-        # showed the failure mode is a per-lane GUESS pathology, not
-        # budget -- a lane that burned 4096 Tapia-guess pivots without
-        # terminating crossed in NINE pivots from the magnitude guess
-        # (and tapia vs magnitude fail on DIFFERENT lanes: tapia is far
-        # better on average, 32/32 vs 26/32 at m=1024).
+        # wrong first tool (round-5 bench: 1.3 s for ONE m=1024 lane).
+        # Retry the pipeline on the gathered bucket with the ALTERNATE
+        # basis-guess ranking: the round-5 stubborn-lane probe showed
+        # this failure mode is a per-lane GUESS pathology, not budget --
+        # a lane that burned 4096 Tapia-guess pivots without terminating
+        # crossed in NINE pivots from the magnitude guess (tapia and
+        # magnitude fail on DIFFERENT lanes; tapia is far better on
+        # average, 32/32 vs 26/32 at m=1024).  Above m~1536 the
+        # magnitude ranking degrades globally (every probed m=2048
+        # straggler budget-exhausted under it) -- no alternate there.
+        retry_plan = ("magnitude" if guess == "tapia" else "tapia",
+                      budget)
+    elif m >= 3072:
+        # at this size two-phase cannot converge affordably (measured
+        # 35 s iter-limited, uncertifiable); the only repair evidence is
+        # BUDGET sensitivity (round 4: 2/4 crossed at 768, 3/4 at 2048)
+        # -- retry the same guess with double budget
+        retry_plan = (guess, 2 * budget)
+    if retry_plan is not None:
+        alt, r_budget = retry_plan
         bucket = min(max(8, 1 << int(bad.size - 1).bit_length()), B)
         idx_r = np.resize(bad, bucket)
-        alt = "magnitude" if guess == "tapia" else "tapia"
         res2, crossed2 = ipm_crossover_batch_canonical(
             jnp.take(c, idx_r, axis=0), jnp.take(G, idx_r, axis=0),
             jnp.take(h, idx_r, axis=0),
-            crossover_maxiters=budget, cfg=cfg, guess=alt,
+            crossover_maxiters=r_budget, cfg=cfg, guess=alt,
         )
         crossed2_np = np.asarray(crossed2)
         if crossed2_np.any():
