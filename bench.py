@@ -755,14 +755,18 @@ def run_exact4096(jax, chunk=4):
     Round 5 (VERDICT r4 items 1+2): the leg runs
     ``router.solve_batch_exact`` -- IPM -> blocked-stream-kernel
     crossover at ``exact_cleanup_config(4096)`` (seg=384, budget 2048;
-    the round-4 leg ran budget 768 and shipped 2/4) -> gathered
-    two-phase fallback for any uncrossed lane, ALL inside the measured
-    wall.  No HiGHS oracle exists at this size (hours per instance), so
-    every lane's returned basis is verified on device against the full
-    KKT system with double-word residuals (``certify``): exact
-    refactorized B^-1 h >= 0, reduced costs >= 0, primal residual and
-    duality gap at the ~1e-7 class.  ``certified == lanes`` is the
-    oracle-free optimality evidence."""
+    the round-4 leg ran budget 768 and shipped 2/4) plus a double-budget
+    retry for uncrossed lanes, ALL inside the measured wall.  No HiGHS
+    oracle exists at this size (hours per instance), so every lane's
+    returned basis is verified on device against the full KKT system
+    with double-word residuals (``certify``): exact refactorized
+    B^-1 h >= 0, reduced costs >= 0, primal residual and duality gap at
+    the ~1e-7 class.  ``certified`` counts the lanes with that evidence;
+    ``uncrossed`` lanes keep their IPM answer and honest status -- the
+    round-5 measured residual class (~1 lane in 4 on this draw) resists
+    every affordable exact tool: budget x2, the alternate basis guess,
+    AND a 35 s two-phase attempt that iter-limited uncertifiably (a
+    from-scratch exact solve needs ~29k pivots at this size)."""
     from linprog_tpu.certify import certificate_summary, certify_vertex_batch
     from linprog_tpu.generators import device_inequality_lps
     from linprog_tpu.router import solve_batch_exact
@@ -788,6 +792,8 @@ def run_exact4096(jax, chunk=4):
         "wall_sec": round(wall, 3),
         "crossed": info["crossed"],
         "fallback": info["fallback"],
+        "retry_crossed": info.get("retry_crossed", 0),
+        "uncrossed": info.get("uncrossed", 0),
         "lanes": chunk,
         "certified": cert["certified"],
         "cert": cert,
@@ -844,6 +850,8 @@ def _digest_leg(leg):
         ("recovered_optimal", "rec_opt"),
         ("crossed", "crossed"),
         ("fallback", "fb"),
+        ("retry_crossed", "retry"),
+        ("uncrossed", "unc"),
         ("certified", "cert"),
         ("lanes", "lanes"),
         ("max_rel_gap_vs_highs", "gap"),
@@ -851,8 +859,11 @@ def _digest_leg(leg):
         ("family", "fam"),
     ):
         v = leg.get(src)
-        if v is not None and v == v:  # drop None/NaN
-            row[dst] = v
+        if v is None or v != v:  # drop None/NaN
+            continue
+        if dst in ("fb", "retry", "unc") and not v:
+            continue  # zero-valued repair counters add no evidence
+        row[dst] = v
     ls = leg.get("lane_status")
     if ls and "opt" not in row:
         row["opt"] = ls.get("optimal")
