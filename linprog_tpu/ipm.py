@@ -740,32 +740,14 @@ def recover_stragglers_pooled(batches, results, recover_cfg=None,
         cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg, indicator=ind,
     )
     crossed_np = np.asarray(crossed)
-    if ind is not None and not crossed_np.all() and m < 1536:
-        # guess-ladder second chance (round 5): the Tapia ranking is far
-        # better on average but pathologically bad on occasional lanes
-        # (one probe lane burned 4096 Tapia pivots without terminating,
-        # then crossed in NINE from the magnitude guess) -- retry the
-        # still-uncrossed lanes with the magnitude ranking and merge.
-        # Gated below m=1536: at m=2048 the magnitude ranking budget-
-        # exhausted on EVERY probed straggler (it degrades with m, round
-        # 4) and the second crossover was pure wall cost
-        sub2, crossed2 = crossover_batch_canonical(
-            cg, Gg, hg, xg, maxiters=maxiters, cfg=recover_cfg,
-            indicator=None,
-        )
-        take = np.asarray(crossed2) & ~crossed_np
-        if take.any():
-            tk = jnp.asarray(take)
-            sub = BatchResult(
-                x=jnp.where(tk[:, None], sub2.x, sub.x),
-                basis=jnp.where(tk[:, None], sub2.basis, sub.basis),
-                cost=jnp.where(tk, sub2.cost, sub.cost),
-                iters=jnp.where(tk, sub2.iters, sub.iters),
-                status=jnp.where(tk, sub2.status, sub.status),
-                y=(sub.y if sub.y is None or sub2.y is None
-                   else jnp.where(tk[:, None], sub2.y, sub.y)),
-            )
-            crossed_np = crossed_np | take
+    # NO alternate-guess retry here, unlike router.solve_batch_exact: the
+    # exact pipeline's uncrossed lanes have an OPTIMAL interior point and
+    # fail on a per-lane guess pathology (the retry fixes them), whereas
+    # recovery buckets hold lanes whose IPM itself ITER_LIMITed -- their
+    # iterate is off the central path and every probed retry (magnitude
+    # guess, double budget, tighter cadence) failed while costing a full
+    # second crossover (measured m=1024 recovery 1.48x -> 2.23x raw wall
+    # for zero extra lanes).  Unrecovered lanes keep their IPM answer.
     if not crossed_np.any():
         return list(results)
     x_ext = _recovery_extend_x(sub.x, Gg, hg)
