@@ -235,10 +235,11 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
     t1 = time.time()
     certified_total = 0
     worst = 0.0
-    try:
-        from linprog_tpu.certify import certify_vertex_batch
+    cert_error = None
+    from linprog_tpu.certify import certify_vertex_batch
 
-        for (c, G, h), res, crossed in results:
+    for (c, G, h), res, crossed in results:
+        try:
             cert = certify_vertex_batch(c, G, h, res.basis)
             ok = np.asarray(cert["certified"]) & np.asarray(crossed)
             certified_total += int(ok.sum())
@@ -246,7 +247,10 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
                 worst = max(worst, float(
                     np.asarray(cert["primal_residual"])[ok].max()
                 ), float(np.asarray(cert["gap"])[ok].max()))
-        for (c, G, h), idx, bad, sub in fallbacks:
+        except Exception as e:  # keep the leg alive; record the cause
+            cert_error = f"{type(e).__name__}: {e}"[:200]
+    for (c, G, h), idx, bad, sub in fallbacks:
+        try:
             cert = certify_vertex_batch(
                 jnp.take(c, jnp.asarray(idx), axis=0),
                 jnp.take(G, jnp.asarray(idx), axis=0),
@@ -259,8 +263,8 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
                 if lane in bad and lane not in seen and okf[kk]:
                     certified_total += 1
                     seen.add(lane)
-    except Exception:
-        certified_total = None
+        except Exception as e:
+            cert_error = f"{type(e).__name__}: {e}"[:200]
     cert_wall = time.time() - t1
     total_lps = chunks * chunk
     lps_per_sec = total_lps / wall
@@ -304,6 +308,7 @@ def run_exact_head(jax, m, n, chunk, chunks, highs_samples):
         "max_kkt_residual": (float(f"{worst:.3e}")
                              if certified_total else None),
         "cert_wall_sec": round(cert_wall, 3),
+        "cert_error": cert_error,
         "family": "ipm+crossover(+simplex fallback)",
         # res.iters mixes IPM Newton steps and crossover pivots; grading
         # every iteration with the cheaper pivot FLOP model makes this a
