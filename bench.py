@@ -1005,7 +1005,9 @@ def main():
         "lane_status": head["lane_status"],
         "device": str(jax.devices()[0]),
     }
-    for k in ("family", "crossed", "fallback", "efficiency"):
+    for k in ("family", "crossed", "fallback", "certified",
+              "max_kkt_residual", "cert_wall_sec", "cert_error",
+              "efficiency"):
         if k in head:
             out[k] = head[k]
     for k, v in extras.items():
