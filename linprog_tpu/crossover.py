@@ -130,6 +130,15 @@ def crossover_batch_canonical(c, G, h, x, maxiters=512,
     )
 
     verified = jnp.zeros((B,), jnp.bool_)
+    # lanes in play this round: round 1 takes every numerically sound
+    # guess; later rounds only the lanes the verification REOPENED.  The
+    # round-4 loop re-ran every phase -- including two full batched
+    # inversions and the exact terminal solve -- over ALL lanes each
+    # round, and round 2 almost never reopens anything: measured 0.35 s
+    # of pure recomputation per 1024-lane m=256 chunk (35% of the
+    # crossover wall).  Masking by participation and cond-guarding the
+    # linalg makes the idle round cost ~one no-op engine pass.
+    participate = finite
     for _round in range(max(1, repair_rounds)):
         states = _run_chunked(cs, As, h, states, allowed, maxiters, cfg,
                               "dual")
@@ -138,23 +147,38 @@ def crossover_batch_canonical(c, G, h, x, maxiters=512,
         # phase from an EXACT refactorization; DUAL_UNBOUNDED means the
         # guessed basis has no primal-feasible completion (uncrossed); a
         # lane still RUNNING exhausted the dual budget.
-        to_primal = states.status == st.OPTIMAL
-        B_dual = jnp.take_along_axis(As, states.basis[:, None, :], axis=2)
-        inv_fresh = jnp.linalg.inv(B_dual)
-        bfs_fresh = jnp.einsum("bij,bj->bi", inv_fresh, h,
-                               precision=_HIGHEST)
+        to_primal = (states.status == st.OPTIMAL) & participate
+        any_p = jnp.any(participate)
+
+        def _fresh(basis):
+            B_dual = jnp.take_along_axis(As, basis[:, None, :], axis=2)
+            inv_fresh = jnp.linalg.inv(B_dual)
+            bfs_fresh = jnp.einsum("bij,bj->bi", inv_fresh, h,
+                                   precision=_HIGHEST)
+            return inv_fresh, bfs_fresh
+
+        inv_fresh, bfs_fresh = jax.lax.cond(
+            any_p, _fresh,
+            lambda basis: (jnp.zeros_like(states.inv_B),
+                           jnp.zeros_like(states.bfs)),
+            states.basis,
+        )
         fresh_ok = jnp.all(jnp.isfinite(inv_fresh), axis=(1, 2)) & jnp.all(
             jnp.isfinite(bfs_fresh), axis=1
         )
         status = jnp.where(
-            to_primal,
-            jnp.where(fresh_ok, st.RUNNING, st.NUMERICAL_ERROR),
+            participate,
             jnp.where(
-                states.status == st.DUAL_UNBOUNDED,
-                st.BASIS_PRIMAL_INFEASIBLE,
-                jnp.where(states.status == st.RUNNING, st.ITER_LIMIT,
-                          states.status),
+                to_primal,
+                jnp.where(fresh_ok, st.RUNNING, st.NUMERICAL_ERROR),
+                jnp.where(
+                    states.status == st.DUAL_UNBOUNDED,
+                    st.BASIS_PRIMAL_INFEASIBLE,
+                    jnp.where(states.status == st.RUNNING, st.ITER_LIMIT,
+                              states.status),
+                ),
             ),
+            states.status,
         ).astype(jnp.int32)
         take = (to_primal & fresh_ok)[:, None]
         states = states._replace(
@@ -170,28 +194,40 @@ def crossover_batch_canonical(c, G, h, x, maxiters=512,
         # exact terminal solve (same accuracy pass as the two-phase driver),
         # plus a primal-feasibility verification so a lane whose drifted eta
         # factors fooled the engine can never be reported as crossed
-        B_final = jnp.take_along_axis(As, states.basis[:, None, :], axis=2)
-        bfs_exact = jnp.linalg.solve(B_final, h[:, :, None])[:, :, 0]
+        bfs_exact = jax.lax.cond(
+            any_p,
+            lambda basis: jnp.linalg.solve(
+                jnp.take_along_axis(As, basis[:, None, :], axis=2),
+                h[:, :, None],
+            )[:, :, 0],
+            lambda basis: jnp.zeros_like(states.bfs),
+            states.basis,
+        )
         ok = jnp.all(jnp.isfinite(bfs_exact), axis=1)
-        verified = ok & jnp.all(
+        verified_new = ok & jnp.all(
             bfs_exact >= -cfg.feas_tol * scale[:, None], axis=1
         )
+        verified = jnp.where(participate, verified_new, verified)
         states = states._replace(
-            bfs=jnp.where(ok[:, None], bfs_exact, states.bfs),
-            status=jnp.where(ok, states.status, st.NUMERICAL_ERROR).astype(
-                jnp.int32
-            ),
+            bfs=jnp.where((participate & ok)[:, None], bfs_exact,
+                          states.bfs),
+            status=jnp.where(
+                participate & ~ok, st.NUMERICAL_ERROR, states.status
+            ).astype(jnp.int32),
         )
+        reopen = jnp.zeros((B,), jnp.bool_)
         if _round + 1 < max(1, repair_rounds):
             # reopen OPTIMAL-but-unverified lanes with the exact bfs (its
             # negative entries are what the next dual phase repairs); the
             # running eta factor is close enough for the dual pivots and
             # gets an exact refactorization before the next primal phase
-            reopen = (states.status == st.OPTIMAL) & ~verified & ok
+            reopen = ((states.status == st.OPTIMAL) & ~verified & ok
+                      & participate)
             states = states._replace(
                 status=jnp.where(reopen, st.RUNNING,
                                  states.status).astype(jnp.int32),
             )
+        participate = reopen
 
     if cfg.polish_pivots > 0:
         # same double-word terminal polish as the two-phase driver

@@ -96,12 +96,17 @@ def test_solve_batch_exact_fallback_guarantees_vertices():
     fallback -- every OPTIMAL answer is vertex-exact."""
     from linprog_tpu import solve_batch_exact
 
-    B, m, n = 6, 16, 24
+    B, m, n = 8, 32, 32
     c, G, h = random_inequality_lps(B, m, n, seed=8)
     c, G, h = jnp.asarray(c), jnp.asarray(G), jnp.asarray(h)
     cfg = SolverConfig(kernels="xla", pricing="dantzig", refactor_every=128,
                        polish_pivots=4)
-    res, info = solve_batch_exact(c, G, h, cfg=cfg, maxiters=1)
+    # polish-free 1-pivot budget with the weaker magnitude ranking: some
+    # guesses stay primal-infeasible, forcing the two-phase fallback
+    # (round 5: the tiny-budget trick alone stopped forcing it -- lanes
+    # already optimal after round 1 are no longer reset by round 2)
+    res, info = solve_batch_exact(c, G, h, cfg=cfg, maxiters=1,
+                                  guess="magnitude")
     assert info["fallback"] > 0  # the tiny budget forced the fallback
     assert (np.asarray(res.status) == st.OPTIMAL).all()
     ref = _highs(c, G, h)
