@@ -201,6 +201,10 @@ def test_calibrate_measures_every_table_key():
 
     import jax
 
+    # clear BEFORE as well as after: calibrate() itself compiles ~15
+    # fresh programs, and with the round-5 suite's larger accumulated
+    # compile count the XLA CPU backend aborts DURING them otherwise
+    jax.clear_caches()
     try:
         out = calibration.calibrate(sizes=(16,), lanes=4, seg_grid=(8, 16),
                                     pdhg_sizes=(16,), pdhg_lanes=4)

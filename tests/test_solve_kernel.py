@@ -6,6 +6,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """Same workaround as tests/test_stream_kernel.py: XLA's CPU backend
+    segfaults compiling Pallas interpret-mode kernels after ~280
+    accumulated suite compilations (the preceding router/calibration
+    tests grew their compile count in round 5 and moved the crash into
+    this module).  Clearing JAX's caches resets the compiler state.
+    """
+    jax.clear_caches()
+    yield
+
+
 from linprog_tpu import SolverConfig, engine
 from linprog_tpu import status as st
 from linprog_tpu.engine_batched import run_batched_pallas
