@@ -71,7 +71,7 @@ from .status import (
     PrimalIsUnboundedError,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "PrimalNaiveSimplexSolver",
